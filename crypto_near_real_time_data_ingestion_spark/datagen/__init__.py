@@ -1,0 +1,7 @@
+from .transcripts import (  # noqa: F401
+    TranscriptConfig,
+    ensure_transcripts,
+    generate_transcripts,
+    sf_from_dir,
+    transcripts_path,
+)
