@@ -29,6 +29,13 @@ from crypto_near_real_time_data_ingestion_spark.datagen import (  # noqa: E402
     ensure_transcripts,
     sf_from_dir,
 )
+from crypto_near_real_time_data_ingestion_spark.operators import joins as joins_op  # noqa: E402
+from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
+    sessionize as sessions_op,
+)
+from crypto_near_real_time_data_ingestion_spark.plans import events_gold as eg  # noqa: E402
+from crypto_near_real_time_data_ingestion_spark.plans import gold_features  # noqa: E402
+from crypto_near_real_time_data_ingestion_spark.plans import gold_windows  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import silver as silver_plan  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.sources import read_transcripts  # noqa: E402
 
@@ -54,10 +61,31 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    # --- medallion pipeline over transcripts -------------------------------
-    q["silver_cleanse_dedup"] = lambda spark, sf_dir: silver_plan.silver_batch(
-        _transcripts(spark, sf_dir)
+    def _silver(spark, sf_dir):
+        return silver_plan.silver_batch(_transcripts(spark, sf_dir))
+
+    # --- medallion pipeline over transcripts (SURVEY §2: P11-P16, W1-W4,
+    # A3-A5, J2, streaming-analog batch oracles) ----------------------------
+    q["silver_cleanse_dedup"] = _silver
+    q["gold_window_stats_hour"] = lambda s, d: gold_windows.conv_window_stats(
+        _silver(s, d), "hour"
     )
+    q["gold_window_stats_day"] = lambda s, d: gold_windows.conv_window_stats(
+        _silver(s, d), "day"
+    )
+    q["gold_sessions_30m"] = lambda s, d: sessions_op.sessionize_batch(_silver(s, d))
+    q["gold_user_response_pairs"] = lambda s, d: joins_op.user_response_pairs(
+        _silver(s, d)
+    )
+    q["gold_conv_features"] = lambda s, d: gold_features.conv_features(_silver(s, d))
+
+    # --- reference gold programs on the driver-provided events table
+    # (W1/W2 keep-latest, A1 QA agg, W5-W10+A2+J1/J2 ML features) -----------
+    q["events_dedup_latest"] = lambda s, d: eg.events_dedup_latest(
+        eg.read_events(s, d)
+    )
+    q["events_minute_qa"] = lambda s, d: eg.events_minute_qa(eg.read_events(s, d))
+    q["events_ml_features"] = lambda s, d: eg.events_ml_features(eg.read_events(s, d))
 
     return q
 
@@ -66,4 +94,20 @@ def oracle_sql() -> dict[str, str]:
     path = _tpath(_ORACLE_SF)
     return {
         "silver_cleanse_dedup": silver_plan.SILVER_ORACLE_SQL_TEMPLATE.format(path=path),
+        "gold_window_stats_hour": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
+            path=path, grain="hour"
+        ),
+        "gold_window_stats_day": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
+            path=path, grain="day"
+        ),
+        "gold_sessions_30m": sessions_op.SESSIONS_ORACLE_SQL_TEMPLATE.format(
+            path=path, gap_s=1800
+        ),
+        "gold_user_response_pairs": joins_op.PAIRS_ORACLE_SQL_TEMPLATE.format(path=path),
+        "gold_conv_features": gold_features.CONV_FEATURES_ORACLE_SQL_TEMPLATE.format(
+            path=path, gap_s=1800
+        ),
+        "events_dedup_latest": eg.EVENTS_DEDUP_ORACLE_SQL,
+        "events_minute_qa": eg.EVENTS_MINUTE_QA_ORACLE_SQL,
+        "events_ml_features": eg.EVENTS_ML_ORACLE_SQL,
     }

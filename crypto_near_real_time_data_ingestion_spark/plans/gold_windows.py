@@ -1,0 +1,140 @@
+"""Gold per-window conversation stats — the OHLC analog.
+
+Reference parity: the OHLC job computes open/high/low/close + tick counts
+per ``date_trunc(grain)`` period and entity via full-frame window functions
+plus a row_number reduce (``gold_ohlc_h_d_w_m.py:53-93``, operators
+W3/W4/A3/A4/A5). Spark-first reformulation: since the result is one row
+per (entity, period), a **grouped aggregation over a tumbling window**
+replaces the window-function + rank pattern entirely — one shuffle, with
+map-side partial aggregation (the reference's formulation shuffles every
+row unreduced). open/close become ``min_by``/``max_by`` over the
+event-time ordering, with ``turn_idx`` as a deterministic tiebreaker
+(fixing the reference's nondeterministic `first(...desc)` tie, SURVEY §7.3.5).
+
+Streaming formulation is the same plan with a watermark; emitted per
+window close, merged into the gold table by the exactly-once sink.
+
+Scale: group key = (window, conv_id). Hot conversations are handled by
+the salted two-phase variant in ``operators/skew.py``; AQE handles
+moderate skew. Partial aggregation means the shuffle carries one row per
+(conv_id, window) per mapper — at 100 TB this is the difference between
+shuffling ~10^12 rows and ~10^9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRAINS = {"hour": "1 hour", "day": "1 day"}
+
+STAT_COLS = [
+    "window_start",
+    "window_end",
+    "conv_id",
+    "n_turns",
+    "n_user",
+    "n_assistant",
+    "n_tool",
+    "tool_call_rate",
+    "first_turn_idx",
+    "last_turn_idx",
+    "first_ts",
+    "last_ts",
+    "grain",
+]
+
+
+def _agg_exprs():
+    order = F.struct(F.col("ts"), F.col("turn_idx"))
+    return [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+        F.sum((F.col("role") == "tool").cast("long")).alias("n_tool"),
+        F.round(
+            F.sum(F.col("tool").isNotNull().cast("long")) / F.count(F.lit(1)), 6
+        ).alias("tool_call_rate"),
+        F.min_by(F.col("turn_idx"), order).alias("first_turn_idx"),
+        F.max_by(F.col("turn_idx"), order).alias("last_turn_idx"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    ]
+
+
+def conv_window_stats(silver: DataFrame, grain: str = "hour") -> DataFrame:
+    """Batch: tumbling-window per-conversation stats at the given grain."""
+    win = F.window("ts", GRAINS[grain])
+    return (
+        silver.groupBy(win.alias("w"), "conv_id")
+        .agg(*_agg_exprs())
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "conv_id",
+            *STAT_COLS[3:12],
+            F.lit(grain).alias("grain"),
+        )
+    )
+
+
+def conv_window_stats_stream(
+    silver_stream: DataFrame, grain: str = "hour", watermark: str = "15 minutes"
+) -> DataFrame:
+    """Streaming: identical aggregation under a watermark (append mode
+    emits each (window, conv_id) row once the watermark passes window end)."""
+    win = F.window("ts", GRAINS[grain])
+    return (
+        silver_stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "conv_id")
+        .agg(*_agg_exprs())
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "conv_id",
+            *STAT_COLS[3:12],
+            F.lit(grain).alias("grain"),
+        )
+    )
+
+
+WINDOW_STATS_ORACLE_SQL_TEMPLATE = """
+WITH cleansed AS (
+    SELECT CAST(conv_id AS VARCHAR) AS conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+           lower(trim(role)) AS role, CAST(text AS VARCHAR) AS text,
+           nullif(trim(tool), '') AS tool, CAST(ts AS TIMESTAMP) AS ts
+    FROM read_parquet('{path}')
+    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND turn_idx >= 0
+      AND role IS NOT NULL AND ts IS NOT NULL
+),
+silver AS (
+    SELECT conv_id, turn_idx, min(role) AS role, min(text) AS text,
+           min(tool) AS tool, min(ts) AS ts
+    FROM cleansed GROUP BY conv_id, turn_idx
+),
+base AS (
+    SELECT *, date_trunc('{grain}', ts) AS window_start,
+           row_number() OVER (PARTITION BY conv_id, date_trunc('{grain}', ts)
+                              ORDER BY ts ASC, turn_idx ASC) AS rn_a,
+           row_number() OVER (PARTITION BY conv_id, date_trunc('{grain}', ts)
+                              ORDER BY ts DESC, turn_idx DESC) AS rn_d
+    FROM silver
+)
+SELECT
+    window_start,
+    window_start + INTERVAL 1 {grain} AS window_end,
+    conv_id,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+    round(CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        AS tool_call_rate,
+    max(CASE WHEN rn_a = 1 THEN turn_idx END) AS first_turn_idx,
+    max(CASE WHEN rn_d = 1 THEN turn_idx END) AS last_turn_idx,
+    min(ts) AS first_ts,
+    max(ts) AS last_ts,
+    '{grain}' AS grain
+FROM base
+GROUP BY window_start, conv_id
+"""
