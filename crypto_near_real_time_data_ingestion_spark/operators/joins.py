@@ -68,12 +68,13 @@ def user_response_pairs(
 
 def user_response_pairs_stream(
     silver_stream: DataFrame,
-    watermark: str = "15 minutes",
     max_latency: str = DEFAULT_MAX_LATENCY,
 ) -> DataFrame:
-    """Stream-stream inner join with watermarked, time-bounded state."""
-    u = silver_stream.withWatermark("ts", watermark).alias("u")
-    r = silver_stream.withWatermark("ts", watermark).alias("r")
+    """Stream-stream inner join with watermarked, time-bounded state.
+    Input must already carry the chain's watermark (set once in the
+    silver stage); both join sides are references to that one stream."""
+    u = silver_stream.alias("u")
+    r = silver_stream.alias("r")
     cond = (
         (F.col("u.conv_id") == F.col("r.conv_id"))
         & (F.col("r.turn_idx") == F.col("u.turn_idx") + 1)

@@ -56,20 +56,16 @@ def sessionize_batch(silver: DataFrame, gap_s: int = DEFAULT_GAP_S) -> DataFrame
     )
 
 
-def sessionize_stream(
-    silver_stream: DataFrame,
-    gap_s: int = DEFAULT_GAP_S,
-    watermark: str = "15 minutes",
-) -> DataFrame:
-    """Native streaming session windows (merge-on-overlap, watermark eviction).
-
-    Note ``session_window.end`` = last event ts + gap; subtract the gap to
-    compare with the batch ``session_end`` (= last event ts).
+def sessionize_stream(silver_stream: DataFrame, gap_s: int = DEFAULT_GAP_S) -> DataFrame:
+    """Native streaming session windows (merge-on-overlap, watermark
+    eviction). Input must already carry the chain's watermark (set once in
+    the silver stage). ``session_window.end`` = last event ts + gap; the
+    selected ``session_end`` is the max event ts, directly comparable to
+    the batch formulation.
     """
     sw = F.session_window("ts", f"{gap_s} seconds")
     return (
-        silver_stream.withWatermark("ts", watermark)
-        .groupBy(sw.alias("w"), "conv_id")
+        silver_stream.groupBy(sw.alias("w"), "conv_id")
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
             F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_calls"),

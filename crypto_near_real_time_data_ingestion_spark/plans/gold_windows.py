@@ -78,15 +78,15 @@ def conv_window_stats(silver: DataFrame, grain: str = "hour") -> DataFrame:
     )
 
 
-def conv_window_stats_stream(
-    silver_stream: DataFrame, grain: str = "hour", watermark: str = "15 minutes"
-) -> DataFrame:
-    """Streaming: identical aggregation under a watermark (append mode
-    emits each (window, conv_id) row once the watermark passes window end)."""
+def conv_window_stats_stream(silver_stream: DataFrame, grain: str = "hour") -> DataFrame:
+    """Streaming: identical aggregation under the watermark already set
+    upstream by the silver stage (a chain defines its watermark exactly
+    once — Spark disallows redefinition across chained stateful
+    operators). Append mode emits each (window, conv_id) row once the
+    watermark passes window end."""
     win = F.window("ts", GRAINS[grain])
     return (
-        silver_stream.withWatermark("ts", watermark)
-        .groupBy(win.alias("w"), "conv_id")
+        silver_stream.groupBy(win.alias("w"), "conv_id")
         .agg(*_agg_exprs())
         .select(
             F.col("w.start").alias("window_start"),

@@ -1,0 +1,161 @@
+"""Engine wiring: bronze stream → silver → gold streaming queries.
+
+The reference's Step-Functions DAG of four sequential Glue jobs
+(``terraform/sfn.tf:4-56``) becomes a set of continuously-running
+Structured Streaming queries, each independently checkpointed and
+resumable (SFN retry/backoff → restart-from-checkpoint). Data passes
+between layers through tables, exactly as the reference passes through
+S3 — but incrementally, per micro-batch.
+
+Queries:
+  silver      raw → cleanse → dropDuplicatesWithinWatermark → MERGE
+  gold_hour   silver-stream → tumbling 1h window agg → MERGE (append-on-close)
+  gold_day    same at day grain
+  sessions    silver-stream → session_window(30 min) → MERGE (update-on-merge)
+  pairs       silver-stream ⋈ silver-stream (user ↔ response) → MERGE
+  features    silver-stream → per-conv stateful rolling features → MERGE
+
+All gold queries consume the *silver stream* directly (single scan of the
+source feeding a shared cleansed stream per query) rather than re-reading
+the silver table — one pass over bronze per query, watermarks aligned.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.joins import user_response_pairs_stream
+from ..operators.sessionize import sessionize_stream
+from ..plans.gold_windows import conv_window_stats_stream
+from ..plans.silver import silver_stream
+from ..sources import read_transcripts_stream
+from .sinks import ParquetMergeSink
+
+DEFAULT_WATERMARK = "15 minutes"
+
+
+@dataclass
+class PipelineHandles:
+    queries: dict[str, StreamingQuery] = field(default_factory=dict)
+    sinks: dict[str, ParquetMergeSink] = field(default_factory=dict)
+
+    def await_all(self, timeout_s: float | None = None) -> None:
+        for q in self.queries.values():
+            q.awaitTermination(timeout_s) if timeout_s else q.awaitTermination()
+
+    def stop_all(self) -> None:
+        for q in self.queries.values():
+            if q.isActive:
+                q.stop()
+
+
+def _start(
+    df: DataFrame,
+    sink: ParquetMergeSink,
+    name: str,
+    checkpoint: str,
+    mode: str,
+    available_now: bool,
+    trigger_interval: str | None,
+) -> StreamingQuery:
+    writer = (
+        df.writeStream.queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink.foreach_batch_handler())
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def start_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    queries: tuple[str, ...] = ("silver", "gold_hour", "pairs"),
+    watermark: str = DEFAULT_WATERMARK,
+    max_files_per_trigger: int = 1,
+    available_now: bool = False,
+    trigger_interval: str | None = None,
+) -> PipelineHandles:
+    """Start the selected streaming queries; each has its own checkpoint
+    under ``work_dir`` and its own MERGE sink table."""
+    h = PipelineHandles()
+
+    def src() -> DataFrame:
+        return read_transcripts_stream(spark, source_dir, max_files_per_trigger)
+
+    def ckpt(name: str) -> str:
+        return os.path.join(work_dir, "checkpoints", name)
+
+    def table(name: str) -> str:
+        return os.path.join(work_dir, "tables", name)
+
+    if "silver" in queries:
+        sink = ParquetMergeSink(table("silver"), ["conv_id", "turn_idx"], "ts")
+        h.sinks["silver"] = sink
+        h.queries["silver"] = _start(
+            silver_stream(src(), watermark), sink, "silver", ckpt("silver"),
+            "append", available_now, trigger_interval,
+        )
+
+    if "gold_hour" in queries:
+        sink = ParquetMergeSink(table("gold_hour"), ["window_start", "conv_id"], None)
+        h.sinks["gold_hour"] = sink
+        h.queries["gold_hour"] = _start(
+            conv_window_stats_stream(silver_stream(src(), watermark), "hour"),
+            sink, "gold_hour", ckpt("gold_hour"), "append", available_now, trigger_interval,
+        )
+
+    if "gold_day" in queries:
+        sink = ParquetMergeSink(table("gold_day"), ["window_start", "conv_id"], None)
+        h.sinks["gold_day"] = sink
+        h.queries["gold_day"] = _start(
+            conv_window_stats_stream(silver_stream(src(), watermark), "day"),
+            sink, "gold_day", ckpt("gold_day"), "append", available_now, trigger_interval,
+        )
+
+    if "sessions" in queries:
+        sink = ParquetMergeSink(table("sessions"), ["conv_id", "window_start"], None)
+        h.sinks["sessions"] = sink
+        h.queries["sessions"] = _start(
+            sessionize_stream(silver_stream(src(), watermark), 1800),
+            sink, "sessions", ckpt("sessions"), "append", available_now, trigger_interval,
+        )
+
+    if "pairs" in queries:
+        sink = ParquetMergeSink(table("pairs"), ["conv_id", "user_turn_idx"], None)
+        h.sinks["pairs"] = sink
+        h.queries["pairs"] = _start(
+            user_response_pairs_stream(silver_stream(src(), watermark)),
+            sink, "pairs", ckpt("pairs"), "append", available_now, trigger_interval,
+        )
+
+    return h
+
+
+def run_pipeline_to_completion(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    queries: tuple[str, ...] = ("silver", "gold_hour", "pairs"),
+    watermark: str = DEFAULT_WATERMARK,
+    max_files_per_trigger: int = 4,
+) -> PipelineHandles:
+    """Drain the whole source with Trigger.AvailableNow and return handles.
+    Rate control is preserved (micro-batches of ``max_files_per_trigger``
+    files), so watermark semantics match a live run over the same arrival
+    order."""
+    h = start_pipeline(
+        spark, source_dir, work_dir, queries, watermark,
+        max_files_per_trigger, available_now=True,
+    )
+    h.await_all()
+    return h

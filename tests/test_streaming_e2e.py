@@ -1,0 +1,133 @@
+"""Stream-vs-batch equivalence + exactly-once/resume tests.
+
+The north-rule correctness contract: the streaming engine, fed the same
+input stream with the same watermark, produces the same rows as the batch
+oracle, exactly once, resumable from checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import TEST_SF, assert_df_equal
+from crypto_near_real_time_data_ingestion_spark.datagen.flush import (
+    FLUSH_CONV_ID,
+    build_flushed_source,
+)
+from crypto_near_real_time_data_ingestion_spark.datagen.transcripts import stream_dir
+from crypto_near_real_time_data_ingestion_spark.operators.joins import user_response_pairs
+from crypto_near_real_time_data_ingestion_spark.operators.sessionize import sessionize_batch
+from crypto_near_real_time_data_ingestion_spark.plans.gold_windows import conv_window_stats
+from crypto_near_real_time_data_ingestion_spark.plans.silver import silver_batch
+from crypto_near_real_time_data_ingestion_spark.sources import read_transcripts
+from crypto_near_real_time_data_ingestion_spark.streaming.engine import (
+    run_pipeline_to_completion,
+)
+
+WORK = "/tmp/spark_graft_stream_e2e"
+
+
+@pytest.fixture(scope="module")
+def drained(spark, transcripts_parquet, stream_parquet_dir):
+    """Run the full streaming pipeline once over the flushed source."""
+    shutil.rmtree(WORK, ignore_errors=True)
+    fsrc = build_flushed_source(stream_parquet_dir, os.path.join(WORK, "source"))
+    h = run_pipeline_to_completion(
+        spark,
+        fsrc,
+        WORK,
+        queries=("silver", "gold_hour", "sessions", "pairs"),
+        max_files_per_trigger=2,
+    )
+    return h
+
+
+def _no_flush(df):
+    return df.filter(F.col("conv_id") != FLUSH_CONV_ID)
+
+
+def test_stream_silver_equals_batch(spark, transcripts_parquet, drained):
+    got = _no_flush(drained.sinks["silver"].read(spark))
+    want = silver_batch(read_transcripts(spark, transcripts_parquet))
+    assert_df_equal(got, want.toPandas(), sort_cols=["conv_id", "turn_idx"])
+
+
+def test_stream_gold_hour_equals_batch(spark, transcripts_parquet, drained):
+    got = _no_flush(drained.sinks["gold_hour"].read(spark))
+    want = conv_window_stats(
+        silver_batch(read_transcripts(spark, transcripts_parquet)), "hour"
+    )
+    assert_df_equal(got, want.toPandas(), sort_cols=["conv_id", "window_start"])
+
+
+def test_stream_sessions_equal_batch(spark, transcripts_parquet, drained):
+    got = _no_flush(drained.sinks["sessions"].read(spark)).select(
+        "conv_id", "session_start", "session_end", "n_turns", "n_tool_calls"
+    )
+    want = (
+        sessionize_batch(silver_batch(read_transcripts(spark, transcripts_parquet)))
+        .select("conv_id", "session_start", "session_end", "n_turns", "n_tool_calls")
+        .toPandas()
+    )
+    assert_df_equal(got, want, sort_cols=["conv_id", "session_start"])
+
+
+def test_stream_pairs_equal_batch(spark, transcripts_parquet, drained):
+    got = _no_flush(drained.sinks["pairs"].read(spark))
+    want = user_response_pairs(
+        silver_batch(read_transcripts(spark, transcripts_parquet))
+    ).toPandas()
+    assert_df_equal(got, want, sort_cols=["conv_id", "user_turn_idx"])
+
+
+def test_batch_replay_is_idempotent(spark, drained):
+    """Re-processing a committed batch id must be a no-op (exactly-once)."""
+    sink = drained.sinks["silver"]
+    before = sink.read(spark).count()
+    some_batch = sink.committed_batches()[0]
+    replay = spark.range(1).selectExpr(
+        "'conv-999999' as conv_id", "cast(0 as int) as turn_idx",
+        "'user' as role", "'dup' as text", "cast(null as string) as tool",
+        "current_timestamp() as ts",
+    )
+    sink.process_batch(replay, some_batch)  # committed → skip
+    assert sink.read(spark).count() == before
+
+
+def test_resume_from_checkpoint(spark, transcripts_parquet, stream_parquet_dir):
+    """Kill the query mid-stream, restart from checkpoint → identical output."""
+    work = "/tmp/spark_graft_resume"
+    shutil.rmtree(work, ignore_errors=True)
+    fsrc = build_flushed_source(stream_parquet_dir, os.path.join(work, "source"))
+
+    # phase 1: process only a prefix (2 triggers of 1 file), then stop
+    from crypto_near_real_time_data_ingestion_spark.streaming.engine import start_pipeline
+
+    h1 = start_pipeline(
+        spark, fsrc, work, queries=("silver",), max_files_per_trigger=1,
+        trigger_interval="1 seconds",
+    )
+    q = h1.queries["silver"]
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len(h1.sinks["silver"].committed_batches()) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    n_partial = len(h1.sinks["silver"].committed_batches())
+    assert n_partial >= 2
+
+    # phase 2: restart from the same checkpoint, drain to completion
+    h2 = run_pipeline_to_completion(
+        spark, fsrc, work, queries=("silver",), max_files_per_trigger=1
+    )
+    got = _no_flush(h2.sinks["silver"].read(spark))
+    want = silver_batch(read_transcripts(spark, transcripts_parquet)).toPandas()
+    assert_df_equal(got, want, sort_cols=["conv_id", "turn_idx"])
