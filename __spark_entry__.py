@@ -29,9 +29,20 @@ from crypto_near_real_time_data_ingestion_spark.datagen import (  # noqa: E402
     ensure_transcripts,
     sf_from_dir,
 )
+from crypto_near_real_time_data_ingestion_spark.operators import ann as ann_op  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.operators import joins as joins_op  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
+    multimodal as mm_op,
+)
+from crypto_near_real_time_data_ingestion_spark.operators import skew as skew_op  # noqa: E402
+from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
+    text_dedup as td_op,
+)
+from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     sessionize as sessions_op,
+)
+from crypto_near_real_time_data_ingestion_spark.plans import (  # noqa: E402
+    documents_gold as dg,
 )
 from crypto_near_real_time_data_ingestion_spark.plans import events_gold as eg  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import gold_features  # noqa: E402
@@ -79,6 +90,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["gold_conv_features"] = lambda s, d: gold_features.conv_features(_silver(s, d))
 
+    # --- skew path: salted two-phase agg, same oracle as the unsalted plan
+    q["gold_window_stats_hour_salted"] = lambda s, d: skew_op.conv_window_stats_salted(
+        _silver(s, d), "hour", n_salts=16
+    )
+
+    # --- streaming engine run end-to-end (Trigger.AvailableNow drain of the
+    # arrival-ordered stream), checked against the SAME batch oracles ------
+    q["streaming_silver"] = lambda s, d: _run_streaming(s, d, "silver")
+    q["streaming_gold_hour"] = lambda s, d: _run_streaming(s, d, "gold_hour")
+
     # --- reference gold programs on the driver-provided events table
     # (W1/W2 keep-latest, A1 QA agg, W5-W10+A2+J1/J2 ML features) -----------
     q["events_dedup_latest"] = lambda s, d: eg.events_dedup_latest(
@@ -87,7 +108,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_minute_qa"] = lambda s, d: eg.events_minute_qa(eg.read_events(s, d))
     q["events_ml_features"] = lambda s, d: eg.events_ml_features(eg.read_events(s, d))
 
+    # --- training-data pipeline: documents / embeddings --------------------
+    q["doc_exact_dedup"] = lambda s, d: dg.doc_exact_dedup(dg.read_documents(s, d))
+    q["doc_text_stats"] = lambda s, d: dg.doc_text_stats(dg.read_documents(s, d))
+    q["doc_langid"] = lambda s, d: dg.doc_langid(dg.read_documents(s, d))
+    q["doc_ngram_jaccard"] = lambda s, d: dg.doc_ngram_jaccard_pairs(
+        dg.read_documents(s, d)
+    )
+    q["emb_cosine_topk"] = lambda s, d: dg.emb_cosine_topk(dg.read_embeddings(s, d))
+    q["emb_near_dup"] = lambda s, d: dg.emb_near_dup_pairs(dg.read_embeddings(s, d))
+
+    # --- approximate / custom-hash ops (rows-only driver check; pytest
+    # verifies them against the exact plans above) --------------------------
+    q["doc_minhash_lsh"] = lambda s, d: td_op.minhash_lsh_pairs(
+        dg.read_documents(s, d)
+    )
+    q["doc_simhash_pairs"] = lambda s, d: td_op.simhash_pairs(dg.read_documents(s, d))
+    q["doc_winnow_fingerprints"] = lambda s, d: td_op.winnow_fingerprints(
+        dg.read_documents(s, d)
+    )
+    q["emb_lsh_ann_topk"] = lambda s, d: ann_op.lsh_ann_topk(dg.read_embeddings(s, d))
+    q["media_features"] = lambda s, d: mm_op.extract_media_features(
+        mm_op.documents_as_media(dg.read_documents(s, d))
+    )
+    q["media_metadata"] = lambda s, d: mm_op.documents_as_media(
+        dg.read_documents(s, d)
+    ).select("media_id", "media_type", "n_bytes")
+
     return q
+
+
+def _run_streaming(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    """Execute the real streaming pipeline (file-stream source, watermarked
+    stateful plan, exactly-once MERGE sink) over the arrival-ordered stream
+    for this sf, and return the drained sink contents."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crypto_near_real_time_data_ingestion_spark.datagen.flush import (
+        FLUSH_CONV_ID,
+        build_flushed_source,
+    )
+    from crypto_near_real_time_data_ingestion_spark.datagen.transcripts import stream_dir
+    from crypto_near_real_time_data_ingestion_spark.streaming.engine import (
+        run_pipeline_to_completion,
+    )
+
+    sf = sf_from_dir(sf_dir)
+    ensure_transcripts(sf)
+    work = f"/tmp/spark_graft_entry_stream_{which}_{sf}"
+    shutil.rmtree(work, ignore_errors=True)
+    fsrc = build_flushed_source(stream_dir(sf), os.path.join(work, "source"))
+    h = run_pipeline_to_completion(
+        spark, fsrc, work, queries=(which,), max_files_per_trigger=4
+    )
+    return h.sinks[which].read(spark).filter(F.col("conv_id") != FLUSH_CONV_ID)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -110,4 +186,31 @@ def oracle_sql() -> dict[str, str]:
         "events_dedup_latest": eg.EVENTS_DEDUP_ORACLE_SQL,
         "events_minute_qa": eg.EVENTS_MINUTE_QA_ORACLE_SQL,
         "events_ml_features": eg.EVENTS_ML_ORACLE_SQL,
+        # skew + streaming paths answer to the same oracles as their batch
+        # formulations — identical semantics, different physical plan
+        "gold_window_stats_hour_salted": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
+            path=path, grain="hour"
+        ),
+        "streaming_silver": silver_plan.SILVER_ORACLE_SQL_TEMPLATE.format(path=path),
+        "streaming_gold_hour": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
+            path=path, grain="hour"
+        ),
+        "doc_exact_dedup": dg.DOC_EXACT_DEDUP_ORACLE_SQL,
+        "doc_text_stats": dg.DOC_TEXT_STATS_ORACLE_SQL,
+        "doc_langid": dg.DOC_LANGID_ORACLE_SQL,
+        "doc_ngram_jaccard": dg.DOC_JACCARD_ORACLE_SQL_TEMPLATE.format(threshold=0.5),
+        "emb_cosine_topk": dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(k=5),
+        "emb_near_dup": dg.EMB_NEAR_DUP_ORACLE_SQL_TEMPLATE.format(threshold=0.45),
+        "media_metadata": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents WHERE text IS NOT NULL
+        """,
+        # doc_minhash_lsh / doc_simhash_pairs / doc_winnow_fingerprints /
+        # emb_lsh_ann_topk / media_features: custom-hash or stubbed-decode
+        # ops — intentionally no SQL oracle (rows-only check); their
+        # correctness is pinned by pytest against the exact plans.
     }

@@ -1,0 +1,182 @@
+"""Benchmark harness.
+
+Two phases, one JSON line on stdout at the end:
+
+  1. batch headline queries — every ``__spark_entry__.queries()`` entry,
+     timed at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+     ``local[$SPARK_GRAFT_CPUS]`` with a noop sink (full execution, no
+     driver collect).
+  2. streaming throughput at two parallelism levels — the north-rule
+     two-cluster-size protocol, sandbox form: the SAME streaming job
+     (silver dedup + gold hourly window agg over the bench transcripts
+     stream) at local[N] and local[4N] (N = CPUS/4), in separate JVMs
+     (subprocess per level). Reports turns/sec at both, p99 micro-batch
+     latency, and scaling efficiency T(4N)/(4·T(N)).
+
+Output:
+  {"metric": "bench_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "streaming": {"turns_per_sec_N": ..., "turns_per_sec_4N": ...,
+                  "scaling_efficiency": ..., "p99_batch_latency_s": ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
+BENCH_FILES = 32
+
+
+def _bench_stream_source() -> str:
+    """Deterministic bench-scale transcripts stream (cached)."""
+    from crypto_near_real_time_data_ingestion_spark.datagen.transcripts import (
+        DATA_ROOT,
+        SCHEMA,
+        TranscriptConfig,
+        generate_transcripts,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sdir = os.path.join(DATA_ROOT, f"bench{BENCH_TURNS}", "stream")
+    if os.path.isdir(sdir) and len(os.listdir(sdir)) == BENCH_FILES:
+        return sdir
+    shutil.rmtree(sdir, ignore_errors=True)
+    os.makedirs(sdir, exist_ok=True)
+    df = generate_transcripts(TranscriptConfig(n_turns=BENCH_TURNS))
+    chunk = len(df) // BENCH_FILES + 1
+    for i in range(0, len(df), chunk):
+        t = pa.Table.from_pandas(df.iloc[i : i + chunk], schema=SCHEMA, preserve_index=False)
+        pq.write_table(t, os.path.join(sdir, f"part-{i // chunk:05d}.parquet"), compression="snappy")
+    return sdir
+
+
+def _stream_worker(cores: int) -> None:
+    """Run the streaming pipeline once at the given parallelism; print JSON."""
+    from crypto_near_real_time_data_ingestion_spark.session import get_spark
+    from crypto_near_real_time_data_ingestion_spark.streaming.engine import (
+        run_pipeline_to_completion,
+    )
+    from crypto_near_real_time_data_ingestion_spark.streaming.listener import (
+        MetricsListener,
+    )
+
+    src = _bench_stream_source()
+    work = f"/tmp/spark_graft_bench_{cores}"
+    shutil.rmtree(work, ignore_errors=True)
+    spark = get_spark(f"bench-stream-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    t0 = time.time()
+    h = run_pipeline_to_completion(
+        spark, src, work, queries=("silver", "gold_hour"),
+        max_files_per_trigger=8,
+    )
+    wall = time.time() - t0
+    rows = listener.total_input_rows("silver")
+    durs = sorted(listener.batch_durations_ms("silver"))
+    p99 = durs[min(int(0.99 * len(durs)), len(durs) - 1)] / 1000 if durs else None
+    print(
+        "BENCH_WORKER_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "wall_s": wall,
+                "input_rows": rows,
+                "turns_per_sec": rows / wall if wall > 0 else 0,
+                "p99_batch_latency_s": p99,
+                "n_batches": len(durs),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _run_worker(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--stream-worker", str(cores)],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_WORKER_RESULT "):
+            return json.loads(line[len("BENCH_WORKER_RESULT "):])
+    raise RuntimeError(
+        f"stream worker ({cores} cores) produced no result.\n"
+        f"stdout tail: {out.stdout[-2000:]}\nstderr tail: {out.stderr[-2000:]}"
+    )
+
+
+def _batch_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stream-worker":
+        _stream_worker(int(sys.argv[2]))
+        return
+
+    from crypto_near_real_time_data_ingestion_spark.session import get_spark
+
+    t0 = time.time()
+    sf = 0.1
+    import re
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    if m:
+        sf = float(m.group(1))
+
+    # phase 2 first (subprocesses own their JVMs; run before we grab one)
+    n_small = max(CPUS // 4, 2)
+    res_small = _run_worker(n_small)
+    res_big = _run_worker(CPUS)
+    eff = res_big["turns_per_sec"] / (4 * res_small["turns_per_sec"])
+
+    spark = get_spark("bench-batch", cores=CPUS)
+    timings = _batch_queries(spark)
+    total = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "streaming": {
+            "bench_turns": BENCH_TURNS,
+            "cores_N": n_small,
+            "cores_4N": CPUS,
+            "turns_per_sec_N": round(res_small["turns_per_sec"], 1),
+            "turns_per_sec_4N": round(res_big["turns_per_sec"], 1),
+            "scaling_efficiency": round(eff, 3),
+            "p99_batch_latency_s_N": res_small["p99_batch_latency_s"],
+            "p99_batch_latency_s_4N": res_big["p99_batch_latency_s"],
+        },
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,8 +45,8 @@ def _project_pairs(joined: DataFrame) -> DataFrame:
         F.col("r.ts").alias("response_ts"),
         F.col("r.role").alias("response_role"),
         F.col("r.tool").alias("response_tool"),
-        F.round(
-            (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("u.ts"))) / 1e6, 6
+        (
+            (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("u.ts"))) / F.lit(1e6)
         ).alias("latency_seconds"),
     )
 
@@ -107,7 +107,7 @@ SELECT u.conv_id AS conv_id,
        r.ts AS response_ts,
        r.role AS response_role,
        r.tool AS response_tool,
-       round((epoch_us(r.ts) - epoch_us(u.ts)) / 1e6, 6) AS latency_seconds
+       (epoch_us(r.ts) - epoch_us(u.ts)) / 1e6 AS latency_seconds
 FROM silver u
 JOIN silver r
   ON u.conv_id = r.conv_id

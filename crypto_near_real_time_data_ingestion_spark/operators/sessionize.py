@@ -49,8 +49,8 @@ def sessionize_batch(silver: DataFrame, gap_s: int = DEFAULT_GAP_S) -> DataFrame
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_turns"),
             F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_calls"),
-            F.round(
-                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1e6, 6
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1e6)
             ).alias("duration_s"),
         )
     )
@@ -113,7 +113,7 @@ SELECT conv_id, session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS BIGINT) AS n_turns,
        CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
-       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6, 6) AS duration_s
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_s
 FROM runs
 GROUP BY conv_id, session_id
 """

@@ -1,0 +1,311 @@
+"""Training-data pipeline plans over ``documents`` / ``embeddings``.
+
+The operations a 100 TB training-data pipeline needs beyond the
+reference's numeric gold jobs — each as a DuckDB-verifiable query:
+
+  doc_exact_dedup         hash-groupBy exact dedup (md5 of text)
+  doc_text_stats          token counts (whitespace + BPE-ish), char
+                          classes, stopword ratio, quality score
+  doc_langid              n-gram/stopword-heuristic language ID
+  doc_ngram_jaccard_pairs exact 3-word-shingle Jaccard near-dup pairs
+  emb_cosine_topk         brute-force cosine top-k (ANN baseline)
+  emb_near_dup_pairs      cosine-threshold near-duplicate pairs
+
+Approximate counterparts (MinHash+LSH, SimHash, winnowing fingerprints,
+LSH-bucketed ANN) live in ``operators/text_dedup.py`` / ``operators/
+ann.py`` — they use custom hashes, so the driver records rows-only checks
+for them; the exact plans here are their ground truth in tests.
+
+Scale notes: exact pairwise Jaccard / cosine are O(n²) baselines kept for
+verification; the production path is the LSH family (candidate-pair
+generation via band-bucket joins — shuffle ∝ candidates, not pairs).
+The shingle self-join here is still shuffle-safe: it joins on the
+shingle value (broadcastable dictionary at 100 TB after a frequency cap)
+and aggregates pair counts map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_ISH_RE,
+    STOPWORDS,
+    WORD_RE,
+    char_classes,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def doc_exact_dedup(docs: DataFrame) -> DataFrame:
+    """One row per distinct text: canonical (min) doc_id + duplicate count.
+    Same keep-one-per-key shape as the silver dedup (W1/W2), keyed by
+    content hash — map-side partial agg, single shuffle on the hash."""
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DOC_EXACT_DEDUP_ORACLE_SQL = """
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# text stats / quality / language-ID
+# ---------------------------------------------------------------------------
+
+def doc_text_stats(docs: DataFrame) -> DataFrame:
+    d = docs.filter(F.col("text").isNotNull())
+    d = char_classes(d, "text")
+    d = d.withColumn("n_tokens_ws", token_count_ws(F.col("text"))).withColumn(
+        "n_tokens_bpe", token_count_bpe_ish(F.col("text"))
+    )
+    pat = "\\b(" + "|".join(STOPWORDS) + ")\\b"
+    d = d.withColumn(
+        "n_stopwords",
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0)).cast("long"),
+    )
+    # quality score: integer-ratio arithmetic only (cross-engine stable)
+    return d.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_letters",
+        "n_digits",
+        "n_punct",
+        "n_spaces",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "n_stopwords",
+        (F.col("n_stopwords") / F.col("n_tokens_ws")).alias("stopword_ratio"),
+        (F.col("n_letters") / F.col("n_chars_calc")).alias("letter_ratio"),
+        (F.col("n_punct") / F.col("n_chars_calc")).alias("punct_ratio"),
+    )
+
+
+DOC_TEXT_STATS_ORACLE_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_letters,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_spaces,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS BIGINT) AS n_tokens_bpe,
+           CAST(len(regexp_extract_all(lower(text), '\\b({"|".join(STOPWORDS)})\\b')) AS BIGINT) AS n_stopwords
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_chars_calc, n_letters, n_digits, n_punct, n_spaces,
+       n_tokens_ws, n_tokens_bpe, n_stopwords,
+       CAST(n_stopwords AS DOUBLE) / n_tokens_ws AS stopword_ratio,
+       CAST(n_letters AS DOUBLE) / n_chars_calc AS letter_ratio,
+       CAST(n_punct AS DOUBLE) / n_chars_calc AS punct_ratio
+FROM base
+"""
+
+
+def doc_langid(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: English iff stopword density and letter ratio
+    clear thresholds. (The container has no language-ID model; this is the
+    deterministic n-gram-heuristic variant, same shape as a fasttext UDF.)"""
+    stats = doc_text_stats(docs)
+    return stats.select(
+        "doc_id",
+        F.when(
+            (F.col("stopword_ratio") >= 0.03) & (F.col("letter_ratio") >= 0.5),
+            F.lit("en"),
+        )
+        .otherwise(F.lit("unknown"))
+        .alias("predicted_lang"),
+    )
+
+
+DOC_LANGID_ORACLE_SQL = (
+    "WITH s AS (" + DOC_TEXT_STATS_ORACLE_SQL + ")"
+    " SELECT doc_id, CASE WHEN stopword_ratio >= 0.03 AND letter_ratio >= 0.5"
+    " THEN 'en' ELSE 'unknown' END AS predicted_lang FROM s"
+)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs (ground truth for MinHash-LSH)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
+    # guard: Spark's sequence(1, 0) is DESCENDING, not empty — gate on size
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+        ),
+    )
+    return d.select("doc_id", F.array_distinct(shingle).alias("shingles"))
+
+
+def doc_ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    sh = doc_shingles(docs).cache()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    t = sh.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        t.alias("a")
+        .join(t.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed("n", "n1"), "doc_id_1")
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed("n", "n2"), "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            (F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+DOC_JACCARD_ORACLE_SQL_TEMPLATE = """
+WITH l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+g AS (
+    SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - 2, 0)),
+        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+    FROM l
+),
+t AS (SELECT doc_id, unnest(shingles) AS s FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, CAST(count(*) AS BIGINT) AS i
+    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2,
+       CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jaccard
+FROM inter
+JOIN sizes s1 ON doc_id_1 = s1.doc_id
+JOIN sizes s2 ON doc_id_2 = s2.doc_id
+WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity: brute-force cosine top-k + near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _with_cosine(emb: DataFrame) -> DataFrame:
+    """All ordered pairs with cosine = dot / sqrt(ssq_a * ssq_b), computed
+    in double with sequential left-fold accumulation (matches DuckDB's
+    list_cosine_similarity on DOUBLE[] input)."""
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "ssq",
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            # round(·,6): DuckDB's list_cosine_similarity accumulates in a
+            # different order than Spark's aggregate() left-fold — last-ulp
+            # noise only; cosines are not decimal-boundary-massed, so
+            # 6-decimal rounding is cross-engine stable.
+            F.round(dot / F.sqrt(F.col("a.ssq") * F.col("b.ssq")), 6).alias("cosine"),
+        )
+    )
+
+
+def emb_cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    pairs = _with_cosine(emb)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine")
+    )
+
+
+EMB_TOPK_ORACLE_SQL_TEMPLATE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def emb_near_dup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    return (
+        _with_cosine(emb)
+        .filter((F.col("vec_id") < F.col("neighbor_id")) & (F.col("cosine") >= threshold))
+        .select(
+            F.col("vec_id").alias("vec_id_1"),
+            F.col("neighbor_id").alias("vec_id_2"),
+            "cosine",
+        )
+    )
+
+
+EMB_NEAR_DUP_ORACLE_SQL_TEMPLATE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+"""

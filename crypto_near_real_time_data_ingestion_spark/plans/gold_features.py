@@ -80,10 +80,9 @@ def conv_features(silver: DataFrame, gap_s: int = 1800) -> DataFrame:
         F.col("ts").alias("as_of_ts"),
         F.count(F.lit(1)).over(w_run).alias("turn_count"),
         F.max("turn_idx").over(w_run).alias("max_turn_idx"),
-        F.round(
+        (
             F.sum(F.col("tool").isNotNull().cast("long")).over(w_run)
-            / F.count(F.lit(1)).over(w_run),
-            6,
+            / F.count(F.lit(1)).over(w_run)
         ).alias("tool_call_rate"),
         pct(0.5).alias("inter_turn_latency_p50"),
         pct(0.95).alias("inter_turn_latency_p95"),
@@ -125,8 +124,8 @@ sessions AS (
 SELECT conv_id, turn_idx, ts AS as_of_ts,
        CAST(count(*) OVER w_run AS BIGINT) AS turn_count,
        max(turn_idx) OVER w_run AS max_turn_idx,
-       round(CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w_run AS DOUBLE)
-             / count(*) OVER w_run, 6) AS tool_call_rate,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w_run AS DOUBLE)
+             / count(*) OVER w_run AS tool_call_rate,
        quantile_cont(gap_us, 0.5) OVER w_run / 1e6 AS inter_turn_latency_p50,
        quantile_cont(gap_us, 0.95) OVER w_run / 1e6 AS inter_turn_latency_p95,
        quantile_cont(gap_us, 0.99) OVER w_run / 1e6 AS inter_turn_latency_p99,

@@ -52,9 +52,10 @@ def _agg_exprs():
         F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
         F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
         F.sum((F.col("role") == "tool").cast("long")).alias("n_tool"),
-        F.round(
-            F.sum(F.col("tool").isNotNull().cast("long")) / F.count(F.lit(1)), 6
-        ).alias("tool_call_rate"),
+        # int/int division is bit-identical across engines; no round()
+        (F.sum(F.col("tool").isNotNull().cast("long")) / F.count(F.lit(1))).alias(
+            "tool_call_rate"
+        ),
         F.min_by(F.col("turn_idx"), order).alias("first_turn_idx"),
         F.max_by(F.col("turn_idx"), order).alias("last_turn_idx"),
         F.min("ts").alias("first_ts"),
@@ -128,7 +129,7 @@ SELECT
     CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
     CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
     CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
-    round(CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+    CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         AS tool_call_rate,
     max(CASE WHEN rn_a = 1 THEN turn_idx END) AS first_turn_idx,
     max(CASE WHEN rn_d = 1 THEN turn_idx END) AS last_turn_idx,

@@ -130,6 +130,18 @@ def start_pipeline(
             sink, "sessions", ckpt("sessions"), "append", available_now, trigger_interval,
         )
 
+    if "features" in queries:
+        from ..functions.cleansing import cleanse_turns
+        from .stateful import conv_features_stream
+
+        cleansed = cleanse_turns(src()).withWatermark("ts", watermark)
+        sink = ParquetMergeSink(table("features"), ["conv_id", "turn_idx"], None)
+        h.sinks["features"] = sink
+        h.queries["features"] = _start(
+            conv_features_stream(cleansed),
+            sink, "features", ckpt("features"), "append", available_now, trigger_interval,
+        )
+
     if "pairs" in queries:
         sink = ParquetMergeSink(table("pairs"), ["conv_id", "user_turn_idx"], None)
         h.sinks["pairs"] = sink
