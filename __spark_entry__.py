@@ -34,6 +34,9 @@ from crypto_near_real_time_data_ingestion_spark.operators import joins as joins_
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     multimodal as mm_op,
 )
+from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
+    rolling as rolling_op,
+)
 from crypto_near_real_time_data_ingestion_spark.operators import skew as skew_op  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     text_dedup as td_op,
@@ -88,7 +91,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gold_user_response_pairs"] = lambda s, d: joins_op.user_response_pairs(
         _silver(s, d)
     )
-    q["gold_conv_features"] = lambda s, d: gold_features.conv_features(_silver(s, d))
+    # two bit-identical formulations (tests/test_rolling_vectorized.py):
+    # Catalyst windows win on many small conversations (sf0.1: 18.6s vs
+    # 49s — per-group pandas overhead dominates); the Arrow/applyInPandas
+    # twin is the shape that wins on long conversations and is the batch
+    # twin of the streaming stateful operator
+    q["gold_conv_features"] = lambda s, d: gold_features.conv_features(
+        _silver(s, d)
+    )
+    q["gold_conv_features_arrow"] = lambda s, d: rolling_op.conv_features_vectorized(
+        _silver(s, d)
+    )
 
     # --- skew path: salted two-phase agg, same oracle as the unsalted plan
     q["gold_window_stats_hour_salted"] = lambda s, d: skew_op.conv_window_stats_salted(
@@ -107,6 +120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_minute_qa"] = lambda s, d: eg.events_minute_qa(eg.read_events(s, d))
     q["events_ml_features"] = lambda s, d: eg.events_ml_features(eg.read_events(s, d))
+    q["events_props_parse"] = lambda s, d: eg.events_props_parse(eg.read_events(s, d))
+
+    # --- SQL API surface (S13 views analog): same gold-hour semantics
+    # expressed as Spark SQL text over a registered view -------------------
+    q["sql_view_gold_hour"] = _sql_view_gold_hour
 
     # --- training-data pipeline: documents / embeddings --------------------
     q["doc_exact_dedup"] = lambda s, d: dg.doc_exact_dedup(dg.read_documents(s, d))
@@ -115,7 +133,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_ngram_jaccard"] = lambda s, d: dg.doc_ngram_jaccard_pairs(
         dg.read_documents(s, d)
     )
-    q["emb_cosine_topk"] = lambda s, d: dg.emb_cosine_topk(dg.read_embeddings(s, d))
+    # GEMM/broadcast-index formulation is the headline (the ANN scale
+    # shape); the pure-expression cross-join answers the same oracle
+    q["emb_cosine_topk"] = lambda s, d: ann_op.broadcast_cosine_topk(
+        dg.read_embeddings(s, d)
+    )
+    q["emb_cosine_topk_exprs"] = lambda s, d: dg.emb_cosine_topk(
+        dg.read_embeddings(s, d)
+    )
     q["emb_near_dup"] = lambda s, d: dg.emb_near_dup_pairs(dg.read_embeddings(s, d))
 
     # --- approximate / custom-hash ops (rows-only driver check; pytest
@@ -136,6 +161,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("media_id", "media_type", "n_bytes")
 
     return q
+
+
+def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold hourly window stats via the SQL API over a registered view —
+    the reference's Athena external-table/view layer analog
+    (``sql/athena_projections_ddl_gold_ohlc.sql:44-54``)."""
+    silver_plan.silver_batch(_transcripts(spark, sf_dir)).createOrReplaceTempView(
+        "silver_turns_v"
+    )
+    return spark.sql(
+        """
+        SELECT w.start AS window_start,
+               w.end AS window_end,
+               conv_id,
+               count(1) AS n_turns,
+               sum(CAST(role = 'user' AS BIGINT)) AS n_user,
+               sum(CAST(role = 'assistant' AS BIGINT)) AS n_assistant,
+               sum(CAST(role = 'tool' AS BIGINT)) AS n_tool,
+               sum(CAST(tool IS NOT NULL AS BIGINT)) / count(1) AS tool_call_rate,
+               min_by(turn_idx, struct(ts, turn_idx)) AS first_turn_idx,
+               max_by(turn_idx, struct(ts, turn_idx)) AS last_turn_idx,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               'hour' AS grain
+        FROM (SELECT *, window(ts, '1 hour') AS w FROM silver_turns_v)
+        GROUP BY w, conv_id
+        """
+    )
 
 
 def _run_streaming(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
@@ -183,9 +236,16 @@ def oracle_sql() -> dict[str, str]:
         "gold_conv_features": gold_features.CONV_FEATURES_ORACLE_SQL_TEMPLATE.format(
             path=path, gap_s=1800
         ),
+        "gold_conv_features_arrow": gold_features.CONV_FEATURES_ORACLE_SQL_TEMPLATE.format(
+            path=path, gap_s=1800
+        ),
         "events_dedup_latest": eg.EVENTS_DEDUP_ORACLE_SQL,
         "events_minute_qa": eg.EVENTS_MINUTE_QA_ORACLE_SQL,
         "events_ml_features": eg.EVENTS_ML_ORACLE_SQL,
+        "events_props_parse": eg.EVENTS_PROPS_ORACLE_SQL,
+        "sql_view_gold_hour": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
+            path=path, grain="hour"
+        ),
         # skew + streaming paths answer to the same oracles as their batch
         # formulations — identical semantics, different physical plan
         "gold_window_stats_hour_salted": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
@@ -200,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": dg.DOC_LANGID_ORACLE_SQL,
         "doc_ngram_jaccard": dg.DOC_JACCARD_ORACLE_SQL_TEMPLATE.format(threshold=0.5),
         "emb_cosine_topk": dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(k=5),
+        "emb_cosine_topk_exprs": dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(k=5),
         "emb_near_dup": dg.EMB_NEAR_DUP_ORACLE_SQL_TEMPLATE.format(threshold=0.45),
         "media_metadata": """
             SELECT doc_id AS media_id,

@@ -41,28 +41,27 @@ ROWS_PER_BAND = N_PERMS // N_BANDS
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    z = x
-    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
-        0xFFFFFFFFFFFFFFFF
-    )
-    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
-        0xFFFFFFFFFFFFFFFF
-    )
-    return z ^ (z >> np.uint64(31))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = x
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        return z ^ (z >> np.uint64(31))
 
 
 def _shingle_hashes(shingles: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hash per shingle (FNV-1a over utf-8 bytes,
-    then splitmix64 finalize)."""
+    """Deterministic 64-bit hash per shingle: first 8 bytes of md5 (C-speed
+    via hashlib — no per-byte Python), splitmix64-finalized. Stable across
+    runs/machines (unlike Python's seeded ``hash()``)."""
+    import hashlib as _hl
+
     out = np.empty(len(shingles), dtype=np.uint64)
-    FNV_OFF = np.uint64(0xCBF29CE484222325)
-    FNV_PRIME = np.uint64(0x100000001B3)
     for i, s in enumerate(shingles):
-        h = FNV_OFF
-        for b in s.encode("utf-8"):
-            h = ((h ^ np.uint64(b)) * FNV_PRIME) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+        out[i] = int.from_bytes(_hl.md5(s.encode("utf-8")).digest()[:8], "little")
     return _splitmix64(out)
 
 
@@ -77,8 +76,11 @@ def _minhash_sig(hashes: np.ndarray) -> np.ndarray:
     if len(hashes) == 0:
         return np.full(N_PERMS, np.iinfo(np.int64).max, dtype=np.int64)
     h = hashes % _MERSENNE
-    # (perms × shingles) affine transform, min over shingles
-    vals = (np.outer(_A, h) + _B[:, None]) % _MERSENNE
+    # (perms × shingles) affine transform, min over shingles; uint64
+    # wraparound in the product is deliberate extra mixing (minhash only
+    # needs a fixed pseudo-permutation, not exact modular arithmetic)
+    with np.errstate(over="ignore"):
+        vals = (np.outer(_A, h) + _B[:, None]) % _MERSENNE
     return vals.min(axis=1).astype(np.int64)
 
 

@@ -81,6 +81,42 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# P8/S6 analog: semi-structured JSON payload parsing (bronze-style ingest)
+# ---------------------------------------------------------------------------
+
+def events_props_parse(events: DataFrame) -> DataFrame:
+    """Parse the JSON ``props`` payload with a pinned schema and aggregate —
+    the transcript-domain stand-in for the reference's JSON bronze ingest +
+    ``from_json(to_json(...), fixed_schema)`` schema pin
+    (``silver_glue_job.py:147-174``). ``from_json`` with an explicit
+    StructType: no inference, malformed rows → null (kept, counted)."""
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), "struct<k:int>").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("p.k").isNull().cast("long")).alias("null_props"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
+EVENTS_PROPS_ORACLE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_props,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # W5-W10 + A2 + J1/J2: daily ML feature plan
 # ---------------------------------------------------------------------------
 

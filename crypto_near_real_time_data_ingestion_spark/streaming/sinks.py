@@ -61,16 +61,10 @@ class ParquetMergeSink:
         df = df.withColumn("__batch_id", F.lit(batch_id))
         df.write.mode("overwrite").parquet(out)
 
-        # lineage manifest (reference manifest-sidecar analog)
-        spark = df.sparkSession
-        written = spark.read.parquet(out)
-        agg = [F.count(F.lit(1)).alias("rows")]
-        for k in self.keys:
-            agg += [F.min(k).alias(f"min_{k}"), F.max(k).alias(f"max_{k}")]
-        if self.event_time_col:
-            c = self.event_time_col
-            agg += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-        stats = {k: str(v) for k, v in written.agg(*agg).first().asDict().items()}
+        # lineage manifest (reference manifest-sidecar analog) — stats come
+        # from parquet FOOTER metadata (row counts + column min/max), a
+        # metadata-only pass: no second Spark job over the written data
+        stats = self._footer_stats(out)
         manifest = {
             "batch_id": batch_id,
             "path": out,
@@ -85,6 +79,39 @@ class ParquetMergeSink:
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id, "rows": stats["rows"]}, f)
         os.rename(tmp, self._commit_marker(batch_id))
+
+    def _footer_stats(self, out_dir: str) -> dict:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        tracked = list(self.keys) + (
+            [self.event_time_col] if self.event_time_col else []
+        )
+        rows = 0
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for f in _glob.glob(os.path.join(out_dir, "*.parquet")):
+            md = _pq.ParquetFile(f).metadata
+            rows += md.num_rows
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for i, name in enumerate(names):
+                    if name not in tracked:
+                        continue
+                    st = g.column(i).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    if name not in mins or st.min < mins[name]:
+                        mins[name] = st.min
+                    if name not in maxs or st.max > maxs[name]:
+                        maxs[name] = st.max
+        stats = {"rows": str(rows)}
+        for c in tracked:
+            stats[f"min_{c}"] = str(mins.get(c))
+            stats[f"max_{c}"] = str(maxs.get(c))
+        return stats
 
     def foreach_batch_handler(self):
         return lambda df, bid: self.process_batch(df, bid)

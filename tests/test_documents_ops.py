@@ -138,3 +138,14 @@ def test_media_features(spark):
     assert pdf.sort_values(key).reset_index(drop=True).equals(
         pdf2.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_broadcast_cosine_topk_matches_exact(spark):
+    from crypto_near_real_time_data_ingestion_spark.operators.ann import (
+        broadcast_cosine_topk,
+    )
+
+    emb = _emb(spark)
+    got = broadcast_cosine_topk(emb, k=5)
+    want = dg.emb_cosine_topk(emb, k=5).toPandas()
+    assert_df_equal(got, want, sort_cols=["vec_id", "rank"])
