@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gold_window_stats_day"] = lambda s, d: gold_windows.conv_window_stats(
         _silver(s, d), "day"
     )
+    q["gold_window_stats_sliding"] = lambda s, d: gold_windows.conv_window_stats_sliding(
+        _silver(s, d)
+    )
     q["gold_sessions_30m"] = lambda s, d: sessions_op.sessionize_batch(_silver(s, d))
     q["gold_user_response_pairs"] = lambda s, d: joins_op.user_response_pairs(
         _silver(s, d)
@@ -228,6 +231,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gold_window_stats_day": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, grain="day"
+        ),
+        "gold_window_stats_sliding": gold_windows.SLIDING_STATS_ORACLE_SQL_TEMPLATE.format(
+            path=path, slide_s=900, length_s=3600, n_overlap=4
         ),
         "gold_sessions_30m": sessions_op.SESSIONS_ORACLE_SQL_TEMPLATE.format(
             path=path, gap_s=1800

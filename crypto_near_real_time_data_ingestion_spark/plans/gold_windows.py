@@ -99,6 +99,79 @@ def conv_window_stats_stream(silver_stream: DataFrame, grain: str = "hour") -> D
     )
 
 
+def conv_window_stats_sliding(
+    silver: DataFrame, length: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Sliding-window per-conversation stats (north-star: tumbling AND
+    sliding event-time windows). Each turn contributes to length/slide
+    overlapping windows; Spark's ``window(ts, length, slide)`` expands
+    rows window-side BEFORE the grouped aggregation, so partial map-side
+    aggregation still applies (shuffle carries one row per (window, conv)
+    per mapper — ×4 the tumbling volume at 1h/15m, not ×rows)."""
+    win = F.window("ts", length, slide)
+    return (
+        silver.groupBy(win.alias("w"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            (F.sum(F.col("tool").isNotNull().cast("long")) / F.count(F.lit(1))).alias(
+                "tool_call_rate"
+            ),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "conv_id",
+            "n_turns",
+            "tool_call_rate",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def conv_window_stats_sliding_stream(
+    silver_stream: DataFrame, length: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Streaming sliding windows under the chain's upstream watermark."""
+    return conv_window_stats_sliding(silver_stream, length, slide)
+
+
+# sliding windows in plain SQL: each row belongs to the (length/slide)
+# windows whose start is the slide-aligned floor of ts minus k slides
+SLIDING_STATS_ORACLE_SQL_TEMPLATE = """
+WITH cleansed AS (
+    SELECT CAST(conv_id AS VARCHAR) AS conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+           lower(trim(role)) AS role, nullif(trim(tool), '') AS tool,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM read_parquet('{path}')
+    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND turn_idx >= 0
+      AND role IS NOT NULL AND ts IS NOT NULL
+),
+silver AS (
+    SELECT conv_id, turn_idx, min(role) AS role, min(tool) AS tool, min(ts) AS ts
+    FROM cleansed GROUP BY conv_id, turn_idx
+),
+expanded AS (
+    SELECT s.*,
+           make_timestamp((epoch_us(ts) // ({slide_s} * 1000000)) * {slide_s} * 1000000
+                          - k * {slide_s} * 1000000) AS window_start
+    FROM silver s, unnest(generate_series(0, {n_overlap} - 1)) AS t(k)
+)
+SELECT window_start,
+       window_start + INTERVAL {length_s} SECOND AS window_end,
+       conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+           AS tool_call_rate,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM expanded
+GROUP BY window_start, conv_id
+"""
+
+
 WINDOW_STATS_ORACLE_SQL_TEMPLATE = """
 WITH cleansed AS (
     SELECT CAST(conv_id AS VARCHAR) AS conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,

@@ -122,6 +122,17 @@ def start_pipeline(
             sink, "gold_day", ckpt("gold_day"), "append", available_now, trigger_interval,
         )
 
+    if "gold_sliding" in queries:
+        from ..plans.gold_windows import conv_window_stats_sliding_stream
+
+        sink = ParquetMergeSink(table("gold_sliding"), ["window_start", "conv_id"], None)
+        h.sinks["gold_sliding"] = sink
+        h.queries["gold_sliding"] = _start(
+            conv_window_stats_sliding_stream(silver_stream(src(), watermark)),
+            sink, "gold_sliding", ckpt("gold_sliding"), "append", available_now,
+            trigger_interval,
+        )
+
     if "sessions" in queries:
         sink = ParquetMergeSink(table("sessions"), ["conv_id", "window_start"], None)
         h.sinks["sessions"] = sink
