@@ -90,6 +90,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gold_window_stats_sliding"] = lambda s, d: gold_windows.conv_window_stats_sliding(
         _silver(s, d)
     )
+    # calendar grains (reference OHLC g=week / g=month, gold_ohlc_h_d_w_m.py:53)
+    q["gold_window_stats_week"] = lambda s, d: gold_windows.conv_window_stats_trunc(
+        _silver(s, d), "week"
+    )
+    q["gold_window_stats_month"] = lambda s, d: gold_windows.conv_window_stats_trunc(
+        _silver(s, d), "month"
+    )
     q["gold_sessions_30m"] = lambda s, d: sessions_op.sessionize_batch(_silver(s, d))
     q["gold_user_response_pairs"] = lambda s, d: joins_op.user_response_pairs(
         _silver(s, d)
@@ -115,6 +122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # arrival-ordered stream), checked against the SAME batch oracles ------
     q["streaming_silver"] = lambda s, d: _run_streaming(s, d, "silver")
     q["streaming_gold_hour"] = lambda s, d: _run_streaming(s, d, "gold_hour")
+    q["streaming_gold_sliding"] = lambda s, d: _run_streaming(s, d, "gold_sliding")
+    q["streaming_sessions_30m"] = lambda s, d: _run_streaming(s, d, "sessions").select(
+        "conv_id", "session_start", "session_end", "n_turns", "n_tool_calls"
+    )
+    q["streaming_pairs"] = lambda s, d: _run_streaming(s, d, "pairs")
+    q["streaming_conv_features"] = lambda s, d: _run_streaming(s, d, "features")
 
     # --- reference gold programs on the driver-provided events table
     # (W1/W2 keep-latest, A1 QA agg, W5-W10+A2+J1/J2 ML features) -----------
@@ -257,9 +270,42 @@ def oracle_sql() -> dict[str, str]:
         "gold_window_stats_hour_salted": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, grain="hour"
         ),
+        "gold_window_stats_week": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
+            path=path, grain="week"
+        ),
+        "gold_window_stats_month": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
+            path=path, grain="month"
+        ),
         "streaming_silver": silver_plan.SILVER_ORACLE_SQL_TEMPLATE.format(path=path),
         "streaming_gold_hour": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, grain="hour"
+        ),
+        "streaming_gold_sliding": gold_windows.SLIDING_STATS_ORACLE_SQL_TEMPLATE.format(
+            path=path, slide_s=900, length_s=3600, n_overlap=4
+        ),
+        # streaming sessions emit (session bounds, counts); the batch
+        # gap-and-island oracle agrees on those once drained (session_id
+        # ordinals are a batch-only construct)
+        "streaming_sessions_30m": (
+            "SELECT conv_id, session_start, session_end, n_turns, n_tool_calls "
+            "FROM ({inner}) t".format(
+                inner=sessions_op.SESSIONS_ORACLE_SQL_TEMPLATE.format(
+                    path=path, gap_s=1800
+                )
+            )
+        ),
+        "streaming_pairs": joins_op.PAIRS_ORACLE_SQL_TEMPLATE.format(path=path),
+        # stateful operator emits the causal feature columns (session_end is
+        # future-looking — batch-only)
+        "streaming_conv_features": (
+            "SELECT conv_id, turn_idx, as_of_ts, turn_count, max_turn_idx, "
+            "tool_call_rate, inter_turn_latency_p50, inter_turn_latency_p95, "
+            "inter_turn_latency_p99, rolling_turns_10m, session_id, session_start "
+            "FROM ({inner}) t".format(
+                inner=gold_features.CONV_FEATURES_ORACLE_SQL_TEMPLATE.format(
+                    path=path, gap_s=1800
+                )
+            )
         ),
         "doc_exact_dedup": dg.DOC_EXACT_DEDUP_ORACLE_SQL,
         "doc_text_stats": dg.DOC_TEXT_STATS_ORACLE_SQL,

@@ -9,9 +9,10 @@ in one Arrow-batched numpy pass per conversation:
     gap array is maintained incrementally sorted (one `np.searchsorted`
     insert per row) → O(n²) element moves but numpy-memcpy fast, ~6×
     faster end-to-end at sf0.1 and far flatter for hot conversations.
-  * Interpolation runs on integer microseconds with a + d*(b-a) — the
-    exact arithmetic Spark `percentile` / DuckDB `quantile_cont` use —
-    so results are bit-identical to both (see gold_features.py notes).
+  * Interpolation runs on integer microseconds with the weighted-sum
+    form (hi-pos)*a + (pos-lo)*b — the exact arithmetic Spark
+    `percentile` / DuckDB `quantile_cont` use — so results are
+    bit-identical to both (see gold_features.py notes).
 
 This is the north-star shape: rolling per-entity features as a
 vectorized pandas UDF over keyed groups, the batch twin of
@@ -55,7 +56,9 @@ _PS = (0.5, 0.95, 0.99)
 def _expanding_percentiles(gaps_us: np.ndarray) -> np.ndarray:
     """Row-wise expanding percentiles of the gap sequence (first row has no
     gap → NaN row). Returns (n, 3). Maintains an incrementally sorted
-    prefix; interpolation = a + d*(b-a) on integer-valued doubles."""
+    prefix; interpolation = (hi-pos)*a + (pos-lo)*b — the exact
+    weighted-sum arithmetic Spark `percentile` / DuckDB `quantile_cont`
+    use, bit-identical to both (a + d*(b-a) differs in the last ULP)."""
     n = len(gaps_us)
     out = np.full((n, len(_PS)), np.nan)
     sorted_buf = np.empty(n, dtype=np.float64)
@@ -70,11 +73,13 @@ def _expanding_percentiles(gaps_us: np.ndarray) -> np.ndarray:
         if m > 0:
             for k, p in enumerate(_PS):
                 pos = p * (m - 1)
-                lo = int(pos)
-                hi = min(lo + 1, m - 1)
-                d = pos - lo
-                a, b = sorted_buf[lo], sorted_buf[hi]
-                out[i, k] = (a + d * (b - a)) / 1e6
+                lo = int(np.floor(pos))
+                hi = int(np.ceil(pos))
+                if lo == hi:
+                    v = sorted_buf[lo]
+                else:
+                    v = (hi - pos) * sorted_buf[lo] + (pos - lo) * sorted_buf[hi]
+                out[i, k] = v / 1e6
     return out
 
 

@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 
 GRAINS = {"hour": "1 hour", "day": "1 day"}
 
+# calendar grains: not fixed durations, so F.window can't express them —
+# the reference's g=week / g=month OHLC grains (gold_ohlc_h_d_w_m.py:53)
+# group directly on date_trunc instead (same shuffle shape: one row per
+# (period, conv_id) after map-side partial agg)
+TRUNC_GRAINS = {"week": "INTERVAL 1 WEEK", "month": "INTERVAL 1 MONTH"}
+
 STAT_COLS = [
     "window_start",
     "window_end",
@@ -92,6 +98,30 @@ def conv_window_stats_stream(silver_stream: DataFrame, grain: str = "hour") -> D
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
+            "conv_id",
+            *STAT_COLS[3:12],
+            F.lit(grain).alias("grain"),
+        )
+    )
+
+
+def conv_window_stats_trunc(silver: DataFrame, grain: str) -> DataFrame:
+    """Batch calendar-grain (week/month) per-conversation stats — the
+    reference's ``g=week`` / ``g=month`` OHLC grains
+    (``gold_ohlc_h_d_w_m.py:53-76``). ``date_trunc`` is Monday-aligned for
+    week and calendar-exact for month (matching the reference's Athena
+    semantics), where epoch-aligned ``F.window`` durations would not be.
+    Identical group key cardinality and shuffle shape to the tumbling
+    grains: one partially-aggregated row per (period, conv_id)."""
+    interval = TRUNC_GRAINS[grain]
+    return (
+        silver.groupBy(
+            F.date_trunc(grain, F.col("ts")).alias("window_start"), "conv_id"
+        )
+        .agg(*_agg_exprs())
+        .select(
+            "window_start",
+            (F.col("window_start") + F.expr(interval)).alias("window_end"),
             "conv_id",
             *STAT_COLS[3:12],
             F.lit(grain).alias("grain"),

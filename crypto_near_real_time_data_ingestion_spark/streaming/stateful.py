@@ -87,9 +87,11 @@ _EMPTY = ([], [], [], [], [], [], 0, 0, -1, -1, 0, -1)
 
 
 def _percentiles(gaps: np.ndarray) -> tuple[float, float, float]:
-    """Expanding exact percentiles, linear interpolation a + d*(b-a) —
-    same arithmetic as Spark `percentile` / DuckDB `quantile_cont`,
-    bit-identical on integer-valued microsecond doubles."""
+    """Expanding exact percentiles. BIT-identical to Spark `percentile`
+    and DuckDB `quantile_cont`: both use the weighted-sum interpolation
+    ``(hi-pos)*a + (pos-lo)*b`` (NOT ``a + d*(b-a)``, which differs in the
+    last ULP and breaks the driver's exact value hash), with the exact
+    value returned when the rank lands on an integer position."""
     if len(gaps) == 0:
         return (np.nan, np.nan, np.nan)
     s = np.sort(gaps)
@@ -98,9 +100,9 @@ def _percentiles(gaps: np.ndarray) -> tuple[float, float, float]:
     for p in (0.5, 0.95, 0.99):
         pos = p * (n - 1)
         lo = int(np.floor(pos))
-        hi = min(lo + 1, n - 1)
-        d = pos - lo
-        out.append((s[lo] + d * (s[hi] - s[lo])) / 1e6)
+        hi = int(np.ceil(pos))
+        v = s[lo] if lo == hi else (hi - pos) * s[lo] + (pos - lo) * s[hi]
+        out.append(v / 1e6)
     return tuple(out)
 
 
