@@ -14,6 +14,8 @@ Queries:
   sessions    silver-stream → session_window(30 min) → MERGE (update-on-merge)
   pairs       silver-stream ⋈ silver-stream (user ↔ response) → MERGE
   features    silver-stream → per-conv stateful rolling features → MERGE
+  features_tws  same semantics on the Spark 4 transformWithState API
+                (typed state variables + event-time timers, RocksDB)
 
 All gold queries consume the *silver stream* directly (single scan of the
 source feeding a shared cleansed stream per query) rather than re-reading
@@ -151,6 +153,26 @@ def start_pipeline(
         h.queries["features"] = _start(
             conv_features_stream(cleansed),
             sink, "features", ckpt("features"), "append", available_now, trigger_interval,
+        )
+
+    if "features_tws" in queries:
+        from ..functions.cleansing import cleanse_turns
+        from .stateful_tws import conv_features_stream_tws
+
+        # transformWithState requires the RocksDB state store; session-wide
+        # runtime conf, picked up by queries at start time
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        cleansed = cleanse_turns(src()).withWatermark("ts", watermark)
+        sink = ParquetMergeSink(table("features_tws"), ["conv_id", "turn_idx"], None)
+        h.sinks["features_tws"] = sink
+        h.queries["features_tws"] = _start(
+            conv_features_stream_tws(cleansed),
+            sink, "features_tws", ckpt("features_tws"), "append", available_now,
+            trigger_interval,
         )
 
     if "pairs" in queries:

@@ -106,17 +106,25 @@ def _percentiles(gaps: np.ndarray) -> tuple[float, float, float]:
     return tuple(out)
 
 
-def _process_conv(
-    key: tuple,
+def _step(
+    conv_id: str,
     pdf_iter: Iterator[pd.DataFrame],
-    state: GroupState,
+    st: tuple,
+    wm_us: int,
     gap_s: int,
-) -> Iterator[pd.DataFrame]:
-    (conv_id,) = key
+) -> tuple[list[tuple], tuple | None, int | None]:
+    """Pure ingest+emit core shared by both stateful backends
+    (``applyInPandasWithState`` and ``transformWithStateInPandas``).
+
+    Takes the 12-field state tuple (layout = ``STATE_SCHEMA``), ingests
+    the batch's rows (exact dedup vs buffered+emitted), emits every
+    buffered turn whose event time the watermark has passed — in strict
+    (ts, turn_idx) order — and returns
+    ``(out_rows, new_state | None-to-evict, timer_ms | None)``."""
     (
         buf_ti, buf_ts, buf_tool, emitted_ti, gaps, recent,
         e_count, e_tool, max_ti, last_ts, sess_id, sess_start,
-    ) = state.get if state.exists else _EMPTY
+    ) = st
     buf_ti, buf_ts, buf_tool = list(buf_ti), list(buf_ts), list(buf_tool)
     emitted_set = set(emitted_ti)
     gaps = list(gaps)
@@ -140,8 +148,7 @@ def _process_conv(
             buf_tool.append(bool(tool[i]))
 
     # --- emit buffered turns whose event time <= watermark, in order
-    wm_us = state.getCurrentWatermarkMs() * 1000
-    out_rows = []
+    out_rows: list[tuple] = []
     if buf_ti:
         order = np.lexsort((np.array(buf_ti), np.array(buf_ts)))
         keep_ti, keep_ts, keep_tool = [], [], []
@@ -189,39 +196,55 @@ def _process_conv(
             )
         buf_ti, buf_ts, buf_tool = keep_ti, keep_ts, keep_tool
 
-    # --- persist / evict state
+    # --- persistence directive
     if buf_ti:
-        state.update(
-            (
-                buf_ti, buf_ts, buf_tool, sorted(emitted_set), gaps, recent,
-                e_count, e_tool, max_ti, last_ts, sess_id, sess_start,
-            )
+        new_state = (
+            buf_ti, buf_ts, buf_tool, sorted(emitted_set), gaps, recent,
+            e_count, e_tool, max_ti, last_ts, sess_id, sess_start,
         )
         # re-arm: wake when the watermark passes the earliest buffered turn
-        state.setTimeoutTimestamp(max(min(buf_ts) // 1000 + 1, wm_us // 1000 + 1))
-    elif e_count > 0:
+        timer = max(min(buf_ts) // 1000 + 1, wm_us // 1000 + 1)
+        return out_rows, new_state, timer
+    if e_count > 0:
         # nothing buffered: keep aggregates until the watermark is far past
         # the last activity, then evict (watermark-driven state eviction)
         if wm_us > last_ts + 2 * gap_s * 1_000_000:
-            state.remove()
-        else:
-            state.update(
-                (
-                    [], [], [], sorted(emitted_set), gaps, recent,
-                    e_count, e_tool, max_ti, last_ts, sess_id, sess_start,
-                )
-            )
-            state.setTimeoutTimestamp(
-                max(last_ts // 1000 + 2 * gap_s * 1000, wm_us // 1000 + 1)
-            )
+            return out_rows, None, None
+        new_state = (
+            [], [], [], sorted(emitted_set), gaps, recent,
+            e_count, e_tool, max_ti, last_ts, sess_id, sess_start,
+        )
+        timer = max(last_ts // 1000 + 2 * gap_s * 1000, wm_us // 1000 + 1)
+        return out_rows, new_state, timer
+    return out_rows, None, None
+
+
+def _rows_to_pdf(out_rows: list[tuple]) -> pd.DataFrame:
+    out = pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+    out["as_of_ts"] = pd.to_datetime(out["as_of_ts"], unit="us")
+    out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+    return out
+
+
+def _process_conv(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_s: int,
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    st = state.get if state.exists else _EMPTY
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    out_rows, new_state, timer = _step(conv_id, pdf_iter, st, wm_us, gap_s)
+
+    if new_state is not None:
+        state.update(new_state)
+        state.setTimeoutTimestamp(timer)
+    elif state.exists:
+        state.remove()
 
     if out_rows:
-        out = pd.DataFrame(
-            out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields]
-        )
-        out["as_of_ts"] = pd.to_datetime(out["as_of_ts"], unit="us")
-        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-        yield out
+        yield _rows_to_pdf(out_rows)
 
 
 def conv_features_stream(

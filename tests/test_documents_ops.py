@@ -6,7 +6,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from conftest import SF_DIR, assert_df_equal, duck_sql
-from crypto_near_real_time_data_ingestion_spark.operators.ann import lsh_ann_topk
+from crypto_near_real_time_data_ingestion_spark.operators.ann import (
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from crypto_near_real_time_data_ingestion_spark.operators.multimodal import (
     documents_as_media,
     extract_media_features,
@@ -122,6 +125,25 @@ def test_lsh_ann_recall(spark):
     # angles) — the worst case for hyperplane LSH; with real near-dup
     # clusters bucket recall ≈ 1. 0.6 reflects the far-neighbor regime.
     assert mean_recall >= 0.6, f"ANN mean recall@5 {mean_recall}"
+
+
+def test_ivf_ann_recall(spark):
+    emb = _emb(spark)
+    exact = dg.emb_cosine_topk(emb, k=5).toPandas()
+    approx = ivf_ann_topk(emb, k=5).toPandas()
+    e = exact.groupby("vec_id")["neighbor_id"].apply(set)
+    a = approx.groupby("vec_id")["neighbor_id"].apply(set)
+    recalls = [len(e[v] & a.get(v, set())) / len(e[v]) for v in e.index]
+    mean_recall = sum(recalls) / len(recalls)
+    # same far-neighbor corpus caveat as the LSH test above; nprobe=4 of
+    # 16 cells scans ~25% of the corpus per query
+    assert mean_recall >= 0.6, f"IVF mean recall@5 {mean_recall}"
+    # determinism: centroid fit is seeded by construction (id-ordered
+    # sample, fixed init) — two runs must agree exactly
+    again = ivf_ann_topk(emb, k=5).toPandas()
+    assert approx.sort_values(["vec_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    )
 
 
 def test_media_features(spark):

@@ -32,6 +32,7 @@ def test_oracle_keys_subset_of_queries():
         "doc_simhash_pairs",
         "doc_winnow_fingerprints",
         "emb_lsh_ann_topk",
+        "emb_ivf_ann_topk",
         "media_features",
     }
 
