@@ -49,3 +49,84 @@ def test_conv_features_single_exchange(spark, transcripts_parquet):
 def test_events_ml_broadcast_join(spark):
     plan = _plan(eg.events_ml_features(eg.read_events(spark, SF_DIR)))
     assert "BroadcastHashJoin" in plan, "per-day factor join must broadcast (J1)"
+
+
+def test_partitioned_layout_roundtrip_and_pruning(spark, transcripts_parquet, tmp_path):
+    """Hive-partitioned silver layout (y/m/d/h): write → read roundtrip is
+    lossless, and a predicate on partition columns prunes at PLANNING time
+    (PartitionFilters on the scan, fewer files read) — the reference's
+    partition-projection behavior (S2/S9/S10)."""
+    from pyspark.sql import functions as F
+
+    from crypto_near_real_time_data_ingestion_spark.sources import (
+        read_silver_partitioned,
+        write_silver_partitioned,
+    )
+
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    out = str(tmp_path / "silver_part")
+    write_silver_partitioned(silver, out)
+
+    back = read_silver_partitioned(spark, out)
+    assert back.count() == silver.count()
+    # roundtrip equality on the logical columns
+    a = silver.orderBy("conv_id", "turn_idx").toPandas()
+    b = (
+        back.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    assert a.equals(b)
+
+    pruned = back.filter((F.col("h") == "03"))
+    plan = _plan(pruned)
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*h#\d+ = 3", scan), scan[:500]
+    # pruning must not degenerate to a full scan: the hour filter reads
+    # strictly fewer partition directories than exist
+    n_hours = silver.select(F.date_format("ts", "HH").alias("h")).distinct().count()
+    assert n_hours > 1
+    got_hours = pruned.select("h").distinct().count()
+    assert got_hours == 1
+
+
+def test_gold_dynamic_partition_overwrite(spark, transcripts_parquet, tmp_path):
+    """Gold dt-partitioned write with dynamic overwrite: rewriting one
+    day's rows replaces exactly that partition and leaves the rest intact
+    (the reference's idempotent daily-batch discipline, S10)."""
+    from pyspark.sql import functions as F
+
+    from crypto_near_real_time_data_ingestion_spark.plans.gold_windows import (
+        conv_window_stats,
+    )
+    from crypto_near_real_time_data_ingestion_spark.sources import (
+        write_gold_partitioned,
+    )
+
+    gold = conv_window_stats(
+        silver_batch(read_transcripts(spark, transcripts_parquet)), "hour"
+    )
+    out = str(tmp_path / "gold_part")
+    write_gold_partitioned(gold, out)
+    before = spark.read.parquet(out)
+    before_count = before.count()  # eager: file index goes stale post-rewrite
+    days = [r["dt"] for r in before.select("dt").distinct().collect()]
+    assert len(days) > 1
+    target = sorted(days)[0]
+
+    # rewrite ONLY the first day, with a sentinel value
+    patched = gold.filter(F.to_date("window_start") == F.lit(target)).withColumn(
+        "n_turns", F.lit(-1).cast("long")
+    )
+    write_gold_partitioned(patched, out)
+
+    after = spark.read.parquet(out)
+    assert after.count() == before_count, "untouched partitions must survive"
+    assert (
+        after.filter(F.col("dt") == target).filter(F.col("n_turns") != -1).count() == 0
+    ), "target partition must be fully replaced"
+    assert (
+        after.filter(F.col("dt") != target).filter(F.col("n_turns") == -1).count() == 0
+    ), "other partitions must be untouched"
