@@ -120,6 +120,14 @@ GROUP BY event_type
 # W5-W10 + A2 + J1/J2: daily ML feature plan
 # ---------------------------------------------------------------------------
 
+# the reference's full window battery (gold_ml_training_job.py:57-146):
+# lags n ∈ {1,3,7,14,30} (W5), trailing rolling mean/std excluding the
+# current row over n ∈ {3,5,7,14,20,30} (W7), rolling missingness over
+# the trailing 7/30 rows (W8)
+LAG_NS = (1, 3, 7, 14, 30)
+ROLL_NS = (3, 5, 7, 14, 20, 30)
+
+
 def events_ml_features(events: DataFrame) -> DataFrame:
     daily = (
         events.groupBy(
@@ -132,15 +140,42 @@ def events_ml_features(events: DataFrame) -> DataFrame:
     )
 
     w = Window.partitionBy("user_id").orderBy("dt")
-    roll3 = w.rowsBetween(-3, -1)  # trailing, EXCLUDING current (W7 frame)
 
-    feat = daily.select(
+    # Rolling mean/std over EXACT integer micro-units: windowed float avg
+    # is engine-dependent in the last ULP (DuckDB evaluates window
+    # aggregates over a segment tree — pairwise addition order — while
+    # Spark sums the frame sequentially), and round(·,6) on a boundary
+    # value then flips. v is round(·,6) so v*1e6 is integral; bigint
+    # frame sums are exact in both engines, and the closed-form
+    # mean/variance from those sums is the same float expression tree on
+    # both sides → bit-identical, no rounding needed.
+    v_us = F.round(F.col("v") * 1e6).cast("long")
+
+    def _roll_mean(n: int):
+        fr = w.rowsBetween(-n, -1)
+        s1 = F.sum(v_us).over(fr).cast("double")
+        cnt = F.count(v_us).over(fr).cast("double")
+        return F.when(cnt > 0, s1 / cnt / F.lit(1e6)).alias(f"roll_mean_{n}")
+
+    def _roll_std(n: int):
+        # bigint sum-of-squares bound: needs v_us²·n < 2^63, i.e.
+        # |v| ≲ 550 at n=30 (holds for this metric domain; for wider
+        # domains drop to 1e4 micro-units or a two-pass m2 accumulation)
+        fr = w.rowsBetween(-n, -1)
+        s1 = F.sum(v_us).over(fr).cast("double")
+        s2 = F.sum(v_us * v_us).over(fr).cast("double")
+        cnt = F.count(v_us).over(fr).cast("double")
+        var = (cnt * s2 - s1 * s1) / (cnt * (cnt - F.lit(1.0)))
+        return F.when(
+            cnt >= 2, F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(1e6)
+        ).alias(f"roll_std_{n}")
+
+    feat_cols = [
         "user_id",
         "dt",
         "v",
         "n_events",
-        F.lag("v", 1).over(w).alias("v_lag1"),
-        F.lag("v", 3).over(w).alias("v_lag3"),
+        *[F.lag("v", n).over(w).alias(f"v_lag{n}") for n in LAG_NS],
         F.round(
             F.when(
                 (F.col("v") > 0) & (F.lag("v", 1).over(w) > 0),
@@ -148,20 +183,30 @@ def events_ml_features(events: DataFrame) -> DataFrame:
             ),
             6,
         ).alias("log_ret_1d"),
-        F.round(F.avg("v").over(roll3), 6).alias("roll_mean_3"),
-        F.round(F.stddev_samp("v").over(roll3), 6).alias("roll_std_3"),
-        F.lead("v", 1).over(w).alias("v_fwd1"),
-    )
-    feat = feat.withColumn(
-        "zscore_3",
-        F.round(
-            F.when(
-                F.col("roll_std_3") > 0,
-                (F.col("v") - F.col("roll_mean_3")) / F.col("roll_std_3"),
-            ),
-            6,
+        *[_roll_mean(n) for n in ROLL_NS],
+        *[_roll_std(n) for n in ROLL_NS],
+        # W8: rolling missingness of the daily metric over trailing 7/30 rows
+        F.sum(F.col("v").isNull().cast("long")).over(w.rowsBetween(-7, -1)).alias(
+            "missing_7d"
         ),
-    ).withColumn(
+        F.sum(F.col("v").isNull().cast("long")).over(w.rowsBetween(-30, -1)).alias(
+            "missing_30d"
+        ),
+        F.lead("v", 1).over(w).alias("v_fwd1"),
+    ]
+    feat = daily.select(*feat_cols)
+    for n in (3, 20):
+        feat = feat.withColumn(
+            f"zscore_{n}",
+            F.round(
+                F.when(
+                    F.col(f"roll_std_{n}") > 0,
+                    (F.col("v") - F.col(f"roll_mean_{n}")) / F.col(f"roll_std_{n}"),
+                ),
+                6,
+            ),
+        )
+    feat = feat.withColumn(
         "y_up_1d_2pct",
         F.when(F.col("v_fwd1").isNotNull(), (F.col("v_fwd1") >= F.col("v") * 1.02).cast("int")),
     )
@@ -174,22 +219,39 @@ def events_ml_features(events: DataFrame) -> DataFrame:
     )
     feat = feat.join(F.broadcast(market), "dt", "left")
 
-    w_day = Window.partitionBy("dt").orderBy(F.desc_nulls_last("v"))
+    # J2: benchmark-entity join — the reference's filter-to-'BTC' self-join
+    # (gold_ml_training_job.py:123-126); benchmark entity = user_id 0
+    bench = daily.filter(F.col("user_id") == 0).select(
+        "dt", F.col("v").alias("bench_v")
+    )
+    feat = feat.join(F.broadcast(bench), "dt", "left").withColumn(
+        "rel_v_bench",
+        F.round(F.when(F.col("bench_v") > 0, F.col("v") / F.col("bench_v")), 6),
+    )
+
+    # W10: two per-day rank variants
+    w_day_v = Window.partitionBy("dt").orderBy(F.desc_nulls_last("v"))
+    w_day_n = Window.partitionBy("dt").orderBy(F.desc_nulls_last("n_events"))
     return feat.select(
         "user_id",
         "dt",
         "v",
         F.col("n_events").cast("long").alias("n_events"),
-        "v_lag1",
-        "v_lag3",
+        *[f"v_lag{n}" for n in LAG_NS],
         "log_ret_1d",
-        "roll_mean_3",
-        "roll_std_3",
+        *[f"roll_mean_{n}" for n in ROLL_NS],
+        *[f"roll_std_{n}" for n in ROLL_NS],
+        "missing_7d",
+        "missing_30d",
         "zscore_3",
+        "zscore_20",
         "v_fwd1",
         "y_up_1d_2pct",
         "mkt_vw_mean",
-        F.dense_rank().over(w_day).cast("long").alias("rank_v_day"),
+        "bench_v",
+        "rel_v_bench",
+        F.dense_rank().over(w_day_v).cast("long").alias("rank_v_day"),
+        F.dense_rank().over(w_day_n).cast("long").alias("rank_events_day"),
         F.dayofweek("dt").cast("tinyint").alias("dow"),
         (F.last_day(F.col("dt").cast("date")) == F.col("dt").cast("date")).alias(
             "is_month_end"
@@ -197,39 +259,87 @@ def events_ml_features(events: DataFrame) -> DataFrame:
     )
 
 
-EVENTS_ML_ORACLE_SQL = """
-WITH daily AS (
+def _ml_oracle_sql() -> str:
+    lag_exprs = ",\n           ".join(
+        f"lag(v, {n}) OVER w AS v_lag{n}" for n in LAG_NS
+    )
+    # exact-integer-sum mean/std mirroring the Spark expression tree
+    # (see events_ml_features: windowed float avg is ULP-different across
+    # engines; integer micro-unit sums are exact in both)
+    roll_mean_exprs = ",\n           ".join(
+        f"CASE WHEN CAST(count(v_us) OVER roll{n} AS DOUBLE) > 0 THEN "
+        f"CAST(sum(v_us) OVER roll{n} AS DOUBLE) "
+        f"/ CAST(count(v_us) OVER roll{n} AS DOUBLE) / 1e6 END AS roll_mean_{n}"
+        for n in ROLL_NS
+    )
+    roll_std_exprs = ",\n           ".join(
+        f"CASE WHEN CAST(count(v_us) OVER roll{n} AS DOUBLE) >= 2 THEN "
+        f"sqrt(greatest((CAST(count(v_us) OVER roll{n} AS DOUBLE) * CAST(sum(v_us * v_us) OVER roll{n} AS DOUBLE) "
+        f"- CAST(sum(v_us) OVER roll{n} AS DOUBLE) * CAST(sum(v_us) OVER roll{n} AS DOUBLE)) "
+        f"/ (CAST(count(v_us) OVER roll{n} AS DOUBLE) * (CAST(count(v_us) OVER roll{n} AS DOUBLE) - 1.0)), 0.0)) / 1e6 "
+        f"END AS roll_std_{n}"
+        for n in ROLL_NS
+    )
+    roll_windows = ",\n           ".join(
+        f"roll{n} AS (PARTITION BY user_id ORDER BY dt "
+        f"ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING)"
+        for n in ROLL_NS
+    )
+    lag_cols = ", ".join(f"f.v_lag{n}" for n in LAG_NS)
+    roll_cols = ", ".join(
+        [f"f.roll_mean_{n}" for n in ROLL_NS] + [f"f.roll_std_{n}" for n in ROLL_NS]
+    )
+    zscore_cols = ",\n       ".join(
+        f"round(CASE WHEN f.roll_std_{n} > 0 THEN (f.v - f.roll_mean_{n}) / f.roll_std_{n} END, 6) AS zscore_{n}"
+        for n in (3, 20)
+    )
+    return f"""
+WITH daily0 AS (
     SELECT user_id, date_trunc('day', ts) AS dt,
            round(avg(value), 6) AS v,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events
     GROUP BY 1, 2
 ),
+daily AS (
+    SELECT *, CAST(round(v * 1e6) AS BIGINT) AS v_us FROM daily0
+),
 feat AS (
     SELECT user_id, dt, v, n_events,
-           lag(v, 1) OVER w AS v_lag1,
-           lag(v, 3) OVER w AS v_lag3,
+           {lag_exprs},
            round(CASE WHEN v > 0 AND lag(v, 1) OVER w > 0
                       THEN ln(v / (lag(v, 1) OVER w)) END, 6) AS log_ret_1d,
-           round(avg(v) OVER roll3, 6) AS roll_mean_3,
-           round(stddev_samp(v) OVER roll3, 6) AS roll_std_3,
+           {roll_mean_exprs},
+           {roll_std_exprs},
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) OVER roll7 AS BIGINT) AS missing_7d,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) OVER roll30 AS BIGINT) AS missing_30d,
            lead(v, 1) OVER w AS v_fwd1
     FROM daily
     WINDOW w AS (PARTITION BY user_id ORDER BY dt),
-           roll3 AS (PARTITION BY user_id ORDER BY dt ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+           {roll_windows}
 ),
 market AS (
     SELECT dt, round(sum(v * n_events) / sum(n_events), 6) AS mkt_vw_mean
     FROM daily GROUP BY dt
+),
+bench AS (
+    SELECT dt, v AS bench_v FROM daily WHERE user_id = 0
 )
-SELECT f.user_id, f.dt, f.v, f.n_events, f.v_lag1, f.v_lag3, f.log_ret_1d,
-       f.roll_mean_3, f.roll_std_3,
-       round(CASE WHEN f.roll_std_3 > 0 THEN (f.v - f.roll_mean_3) / f.roll_std_3 END, 6) AS zscore_3,
+SELECT f.user_id, f.dt, f.v, f.n_events, {lag_cols}, f.log_ret_1d,
+       {roll_cols},
+       f.missing_7d, f.missing_30d,
+       {zscore_cols},
        f.v_fwd1,
        CASE WHEN f.v_fwd1 IS NOT NULL THEN CAST(f.v_fwd1 >= f.v * 1.02 AS INTEGER) END AS y_up_1d_2pct,
        m.mkt_vw_mean,
+       b.bench_v,
+       round(CASE WHEN b.bench_v > 0 THEN f.v / b.bench_v END, 6) AS rel_v_bench,
        CAST(dense_rank() OVER (PARTITION BY f.dt ORDER BY f.v DESC NULLS LAST) AS BIGINT) AS rank_v_day,
+       CAST(dense_rank() OVER (PARTITION BY f.dt ORDER BY f.n_events DESC NULLS LAST) AS BIGINT) AS rank_events_day,
        CAST(dayofweek(f.dt) + 1 AS TINYINT) AS dow,
        last_day(CAST(f.dt AS DATE)) = CAST(f.dt AS DATE) AS is_month_end
-FROM feat f LEFT JOIN market m USING (dt)
+FROM feat f LEFT JOIN market m USING (dt) LEFT JOIN bench b USING (dt)
 """
+
+
+EVENTS_ML_ORACLE_SQL = _ml_oracle_sql()
