@@ -134,6 +134,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_dedup_latest"] = lambda s, d: eg.events_dedup_latest(
         eg.read_events(s, d)
     )
+    # the literal OHLC job (W3/W4 + A3-A5) and its grain-view layer (S13):
+    # the view filters g='week' over the 4-grain union — Catalyst constant-
+    # folds the other branches to empty relations (one scan survives)
+    q["events_ohlc_hour"] = lambda s, d: eg.events_ohlc(eg.read_events(s, d), "hour")
+    q["sql_view_ohlc_week"] = _sql_view_ohlc_week
     q["events_minute_qa"] = lambda s, d: eg.events_minute_qa(eg.read_events(s, d))
     q["events_ml_features"] = lambda s, d: eg.events_ml_features(eg.read_events(s, d))
     q["events_props_parse"] = lambda s, d: eg.events_props_parse(eg.read_events(s, d))
@@ -222,6 +227,13 @@ _STREAM_QUERIES = ("silver", "gold_hour", "gold_sliding", "sessions", "pairs", "
 _stream_cache: dict[tuple, object] = {}
 
 
+def _sql_view_ohlc_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grain-filter view over the unified multi-grain OHLC table — the
+    reference's Athena view layer (S13)."""
+    eg.register_ohlc_views(spark, eg.read_events(spark, sf_dir))
+    return spark.sql("SELECT * FROM gold_ohlc_week")
+
+
 def _run_streaming(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
     """Execute the real streaming pipeline (file-stream source, watermarked
     stateful plans, exactly-once MERGE sinks) over the arrival-ordered
@@ -278,6 +290,8 @@ def oracle_sql() -> dict[str, str]:
             path=path, gap_s=1800
         ),
         "events_dedup_latest": eg.EVENTS_DEDUP_ORACLE_SQL,
+        "events_ohlc_hour": eg.OHLC_ORACLE_SQL_TEMPLATE.format(grain="hour"),
+        "sql_view_ohlc_week": eg.OHLC_ORACLE_SQL_TEMPLATE.format(grain="week"),
         "events_minute_qa": eg.EVENTS_MINUTE_QA_ORACLE_SQL,
         "events_ml_features": eg.EVENTS_ML_ORACLE_SQL,
         "events_props_parse": eg.EVENTS_PROPS_ORACLE_SQL,

@@ -108,3 +108,83 @@ def extract_media_features(media: DataFrame) -> DataFrame:
         media.repartition(F.pmod(F.hash("media_id"), F.lit(32)))
         .mapInPandas(_features_udf, schema=FEATURES_SCHEMA)
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing (images): Arrow-batched mapInPandas with a binary
+    output column — the shape a real PIL/libvips resize takes at scale
+    (decode → resample → re-encode per batch). The resample itself is a
+    deterministic stub (payload truncated/tiled to width·height bytes —
+    a stand-in for the real codec, absent in this container); schema,
+    batch flow, and output sizing are real."""
+    target = width * height
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                out = (
+                    np.tile(b, target // max(len(b), 1) + 1)[:target]
+                    if len(b)
+                    else np.zeros(target, dtype=np.uint8)
+                )
+                rows.append((mid, mtype, width, height, out.tobytes(), target))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        fn, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 8, frame_bytes: int = 1024) -> DataFrame:
+    """Frame-sampling plumbing (video): one input row → many output rows
+    (every ``every_n``-th frame), the 1:N batch shape a real ffmpeg
+    frame extractor produces. Frames are deterministic byte slices of the
+    payload (codec stub); the row-explosion shape, per-frame binary
+    column, and downstream partitioning are real."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = max(len(b) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_n):
+                    chunk = b[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    rows.append((mid, fi, chunk.tobytes(), len(chunk)))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        fn, schema=FRAMES_SCHEMA
+    )

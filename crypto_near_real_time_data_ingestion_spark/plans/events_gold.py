@@ -117,6 +117,106 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# W3/W4 + A3-A5 literal form: the OHLC job (gold_ohlc_h_d_w_m.py:53-93)
+# ---------------------------------------------------------------------------
+
+OHLC_GRAINS = ("hour", "day", "week", "month")
+
+
+def events_ohlc(events: DataFrame, grain: str = "hour") -> DataFrame:
+    """Open/high/low/close of the metric per (entity, date_trunc(grain))
+    period — the reference OHLC job 1:1, reformulated as ONE grouped
+    aggregation (map-side partial agg; the reference's full-frame windows
+    + row_number reduce shuffles every row unreduced). open/close =
+    first/last NON-NULL value in (ts, event_id) order: the null-guarded
+    ordering key makes ``min_by``/``max_by`` skip null metrics, exactly
+    the reference's ``first(..., ignorenulls=True)`` (A5), with the
+    deterministic tiebreak fixing its exact-tie nondeterminism."""
+    if grain not in OHLC_GRAINS:
+        raise ValueError(f"grain must be one of {OHLC_GRAINS}")
+    order = F.expr("CASE WHEN value IS NOT NULL THEN struct(ts, event_id) END")
+    return (
+        events.groupBy(
+            F.col("user_id"), F.date_trunc(grain, F.col("ts")).alias("period")
+        )
+        .agg(
+            F.expr(
+                "min_by(value, CASE WHEN value IS NOT NULL THEN struct(ts, event_id) END)"
+            ).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr(
+                "max_by(value, CASE WHEN value IS NOT NULL THEN struct(ts, event_id) END)"
+            ).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("value").isNotNull().cast("long")).alias("valid_ticks"),
+        )
+        .select(
+            "user_id",
+            "period",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+            "valid_ticks",
+            F.lit(grain).alias("g"),
+        )
+    )
+
+
+def events_ohlc_all_grains(events: DataFrame) -> DataFrame:
+    """The unified multi-grain OHLC table the reference partitions by
+    ``g`` (``sql/athena_projections_ddl_gold_ohlc.sql:3-39``): one union
+    of the four grains; grain-filter views select ``WHERE g = ...``."""
+    out = events_ohlc(events, OHLC_GRAINS[0])
+    for g in OHLC_GRAINS[1:]:
+        out = out.unionByName(events_ohlc(events, g))
+    return out
+
+
+def register_ohlc_views(spark: SparkSession, events: DataFrame) -> None:
+    """The reference's Athena view layer (S13,
+    ``sql/athena_projections_ddl_gold_ohlc.sql:44-54``): one view per
+    grain over the unified table, expressed as Spark SQL DDL."""
+    events_ohlc_all_grains(events).createOrReplaceTempView("gold_ohlc_all")
+    for g in OHLC_GRAINS:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW gold_ohlc_{g} AS "
+            f"SELECT * FROM gold_ohlc_all WHERE g = '{g}'"
+        )
+
+
+# DuckDB arg_min/arg_max can't take a struct ordering key, so the oracle
+# uses the rank formulation; (value IS NULL) sorts non-null first, making
+# rn=1 the first/last NON-null value — same semantics as the null-guarded
+# min_by/max_by above
+OHLC_ORACLE_SQL_TEMPLATE = """
+WITH base AS (
+    SELECT *, date_trunc('{grain}', ts) AS period FROM events
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id, period
+                              ORDER BY (value IS NULL), ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY user_id, period
+                              ORDER BY (value IS NULL), ts DESC, event_id DESC) AS rn_d
+    FROM base
+)
+SELECT user_id, period,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS valid_ticks,
+       '{grain}' AS g
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # W5-W10 + A2 + J1/J2: daily ML feature plan
 # ---------------------------------------------------------------------------
 

@@ -13,6 +13,8 @@ from crypto_near_real_time_data_ingestion_spark.operators.ann import (
 from crypto_near_real_time_data_ingestion_spark.operators.multimodal import (
     documents_as_media,
     extract_media_features,
+    frame_sample,
+    resize_media,
 )
 from crypto_near_real_time_data_ingestion_spark.operators.text_dedup import (
     minhash_lsh_pairs,
@@ -160,6 +162,22 @@ def test_media_features(spark):
     assert pdf.sort_values(key).reset_index(drop=True).equals(
         pdf2.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_media_resize_and_frame_sample(spark):
+    media = documents_as_media(_docs(spark))
+    resized = resize_media(media, width=32, height=32).toPandas()
+    assert len(resized) == media.filter("media_type = 'image'").count()
+    assert (resized["n_bytes"] == 32 * 32).all()
+    assert resized["payload"].map(len).eq(32 * 32).all()
+
+    frames = frame_sample(media, every_n=4, frame_bytes=64).toPandas()
+    n_videos = media.filter("media_type = 'video'").count()
+    assert frames["media_id"].nunique() == n_videos
+    # 1:N explosion — at least one video yields multiple sampled frames
+    assert (frames.groupby("media_id").size() >= 1).all()
+    assert (frames["frame_idx"] % 4 == 0).all()
+    assert (frames["n_bytes"] <= 64).all() and (frames["n_bytes"] > 0).all()
 
 
 def test_broadcast_cosine_topk_matches_exact(spark):

@@ -130,3 +130,16 @@ def test_gold_dynamic_partition_overwrite(spark, transcripts_parquet, tmp_path):
     assert (
         after.filter(F.col("dt") != target).filter(F.col("n_turns") == -1).count() == 0
     ), "other partitions must be untouched"
+
+
+def test_ohlc_view_branch_pruning(spark):
+    """The g='week' view filters a 4-grain union; Catalyst constant-folds
+    the other grains' `'hour' = 'week'` predicates to false and prunes
+    those union branches — exactly ONE scan survives. (The reference got
+    this from physical `g=` partition layout; we get it from the
+    optimizer.)"""
+    from crypto_near_real_time_data_ingestion_spark.plans import events_gold as eg
+
+    eg.register_ohlc_views(spark, eg.read_events(spark, SF_DIR))
+    plan = _plan(spark.sql("SELECT * FROM gold_ohlc_week"))
+    assert plan.count("FileScan parquet") == 1, plan[:800]
