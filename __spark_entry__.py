@@ -347,6 +347,11 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(k=5),
         "emb_cosine_topk_exprs": dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(k=5),
         "emb_near_dup": dg.EMB_NEAR_DUP_ORACLE_SQL_TEMPLATE.format(threshold=0.45),
+        # MinHash-LSH generates candidates then EXACT-verifies them, so its
+        # output equals the exact-Jaccard query whenever band recall is 1.0
+        # (true at 16 bands × 4 rows on this corpus; the pytest recall
+        # bound pins it) — the exact plan's oracle therefore applies
+        "doc_minhash_lsh": dg.DOC_JACCARD_ORACLE_SQL_TEMPLATE.format(threshold=0.5),
         "media_metadata": """
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -28,7 +28,6 @@ def test_oracle_keys_subset_of_queries():
     assert set(o) <= set(q)
     # rows-only ops are the documented custom-hash/stub ones
     assert set(q) - set(o) == {
-        "doc_minhash_lsh",
         "doc_simhash_pairs",
         "doc_winnow_fingerprints",
         "emb_lsh_ann_topk",
