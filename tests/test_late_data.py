@@ -98,3 +98,47 @@ def test_late_rows_beyond_watermark_are_dropped(spark):
         assert len(c1_w0) == 1 and c1_w0[0]["n_turns"] == 3
     finally:
         spark.streams.removeListener(lst)
+
+
+def test_session_window_absorbs_late_in_watermark_rows(spark):
+    """SURVEY §7.3 hard-part 2: a late row landing INSIDE an open session
+    (within the watermark) must merge into that session before it closes
+    — the emitted session covers both on-time and late turns, and equals
+    the batch gap-and-island result."""
+    work = WORK + "_sessions"
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "source")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2025-06-01 00:00:00")
+
+    def rows(items):
+        return pd.DataFrame(
+            {
+                "conv_id": [c for c, *_ in items],
+                "turn_idx": np.array([t for _, t, _ in items], dtype="int32"),
+                "role": ["user"] * len(items),
+                "text": [f"{c}:{t}" for c, t, _ in items],
+                "tool": [None] * len(items),
+                "ts": [t0 + pd.Timedelta(minutes=m) for *_, m in items],
+            }
+        )
+
+    # batch 1: session start (minutes 0, 2)
+    _write(rows([("c1", 0, 0), ("c1", 2, 2)]), f"{src}/f1.parquet", 1e9)
+    # batch 2: watermark moves to ~minute 6 (wm delay 15m → still open),
+    # and a LATE row (minute 1) slots between the first two turns
+    _write(rows([("c2", 0, 21), ("c1", 1, 1)]), f"{src}/f2.parquet", 1e9 + 1)
+    # batch 3: flush far ahead — closes every session
+    _write(rows([("c3", 0, 600)]), f"{src}/f3.parquet", 1e9 + 2)
+
+    h = run_pipeline_to_completion(
+        spark, src, work, queries=("sessions",), watermark="15 minutes",
+        max_files_per_trigger=1,
+    )
+    got = h.sinks["sessions"].read(spark)
+    c1 = got.filter(F.col("conv_id") == "c1").collect()
+    # ONE session holding all three turns incl. the late one
+    assert len(c1) == 1, c1
+    assert c1[0]["n_turns"] == 3
+    assert str(c1[0]["session_start"]) == "2025-06-01 00:00:00"
+    assert str(c1[0]["session_end"]) == "2025-06-01 00:02:00"
