@@ -50,6 +50,7 @@ from crypto_near_real_time_data_ingestion_spark.plans import (  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import events_gold as eg  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import gold_features  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import gold_windows  # noqa: E402
+from crypto_near_real_time_data_ingestion_spark.plans import patterns  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import silver as silver_plan  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.sources import read_transcripts  # noqa: E402
 
@@ -110,6 +111,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _silver(s, d)
     )
     q["gold_conv_features_arrow"] = lambda s, d: rolling_op.conv_features_vectorized(
+        _silver(s, d)
+    )
+
+    # --- CEP-style sequence patterns (north-rule "CEP"): consecutive-run
+    # detection (gap-and-island) + negation/timeout (time-bounded anti-join)
+    q["gold_tool_bursts"] = lambda s, d: patterns.tool_bursts(_silver(s, d))
+    q["gold_role_runs_user"] = lambda s, d: patterns.role_runs(_silver(s, d), "user")
+    q["gold_unanswered_user_turns"] = lambda s, d: patterns.unanswered_user_turns(
         _silver(s, d)
     )
 
@@ -302,6 +311,15 @@ def oracle_sql() -> dict[str, str]:
         # formulations — identical semantics, different physical plan
         "gold_window_stats_hour_salted": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, grain="hour"
+        ),
+        "gold_tool_bursts": patterns.ROLE_RUNS_ORACLE_SQL_TEMPLATE.format(
+            path=path, role="tool", min_run=2
+        ),
+        "gold_role_runs_user": patterns.ROLE_RUNS_ORACLE_SQL_TEMPLATE.format(
+            path=path, role="user", min_run=2
+        ),
+        "gold_unanswered_user_turns": patterns.UNANSWERED_ORACLE_SQL_TEMPLATE.format(
+            path=path
         ),
         "gold_window_stats_week": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, grain="week"
