@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_id", "session_start", "session_end", "n_turns", "n_tool_calls"
     )
     q["streaming_pairs"] = lambda s, d: _run_streaming(s, d, "pairs")
+    q["streaming_unanswered"] = lambda s, d: _run_streaming(s, d, "unanswered")
     q["streaming_conv_features"] = lambda s, d: _run_streaming(s, d, "features")
 
     # --- reference gold programs on the driver-provided events table
@@ -232,7 +233,7 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one continuous pipeline (and 6× cheaper than per-query drains in the
 # driver's verify/bench loop). Results are deterministic, so caching the
 # drained handles per (session, sf) is sound.
-_STREAM_QUERIES = ("silver", "gold_hour", "gold_sliding", "sessions", "pairs", "features")
+_STREAM_QUERIES = ("silver", "gold_hour", "gold_sliding", "sessions", "pairs", "features", "unanswered")
 _stream_cache: dict[tuple, object] = {}
 
 
@@ -346,6 +347,11 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "streaming_pairs": joins_op.PAIRS_ORACLE_SQL_TEMPLATE.format(path=path),
+        # the streaming left-outer+null-filter anti answers the batch
+        # NOT EXISTS oracle once drained
+        "streaming_unanswered": patterns.UNANSWERED_ORACLE_SQL_TEMPLATE.format(
+            path=path
+        ),
         # stateful operator emits the causal feature columns (session_end is
         # future-looking — batch-only)
         "streaming_conv_features": (

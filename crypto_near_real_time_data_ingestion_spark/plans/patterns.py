@@ -96,6 +96,34 @@ def unanswered_user_turns(silver: DataFrame, horizon: str = "1 hour") -> DataFra
     )
 
 
+def unanswered_user_turns_stream(
+    silver_stream: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Streaming negation pattern. Spark's stream-stream joins support
+    inner/outer/semi but NOT left-anti, so the anti is expressed as the
+    watermarked LEFT OUTER join + null-match filter: an unanswered user
+    turn emits exactly when the watermark passes ``user_ts + horizon``
+    (the outer join's null-side emission point) — i.e. the timeout fires
+    only once no response can still arrive. State is bounded by the
+    horizon, same argument as the pairs join. Input must already carry
+    the chain's watermark (set once in the silver stage)."""
+    u = silver_stream.alias("u")
+    r = silver_stream.alias("r")
+    cond = (
+        (F.col("u.conv_id") == F.col("r.conv_id"))
+        & (F.col("r.ts") > F.col("u.ts"))
+        & (F.col("r.ts") <= F.col("u.ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    joined = u.filter(F.col("role") == "user").join(
+        r.filter(F.col("role").isin("assistant", "tool")), cond, "leftOuter"
+    )
+    return joined.filter(F.col("r.conv_id").isNull()).select(
+        F.col("u.conv_id").alias("conv_id"),
+        F.col("u.turn_idx").alias("turn_idx"),
+        F.col("u.ts").alias("ts"),
+    )
+
+
 _SILVER_CTE = """
 WITH cleansed AS (
     SELECT CAST(conv_id AS VARCHAR) AS conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,

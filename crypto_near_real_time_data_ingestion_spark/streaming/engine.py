@@ -13,6 +13,8 @@ Queries:
   gold_day    same at day grain
   sessions    silver-stream → session_window(30 min) → MERGE (update-on-merge)
   pairs       silver-stream ⋈ silver-stream (user ↔ response) → MERGE
+  unanswered  negation pattern: watermarked left-outer + null filter
+              (stream-stream anti), timeout-emitted → MERGE
   features    silver-stream → per-conv stateful rolling features → MERGE
   features_tws  same semantics on the Spark 4 transformWithState API
                 (typed state variables + event-time timers, RocksDB)
@@ -153,6 +155,17 @@ def start_pipeline(
         h.queries["features"] = _start(
             conv_features_stream(cleansed),
             sink, "features", ckpt("features"), "append", available_now, trigger_interval,
+        )
+
+    if "unanswered" in queries:
+        from ..plans.patterns import unanswered_user_turns_stream
+
+        sink = ParquetMergeSink(table("unanswered"), ["conv_id", "turn_idx"], None)
+        h.sinks["unanswered"] = sink
+        h.queries["unanswered"] = _start(
+            unanswered_user_turns_stream(silver_stream(src(), watermark)),
+            sink, "unanswered", ckpt("unanswered"), "append", available_now,
+            trigger_interval,
         )
 
     if "features_tws" in queries:
