@@ -164,9 +164,8 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 def _run_worker(cores: int, mfpt: int = 32, reps: int = REPS) -> dict:
     runs = [_run_worker_once(cores, mfpt) for _ in range(reps)]
     best = max(runs, key=lambda r: r["turns_per_sec"])
-    best["p99_batch_latency_s"] = min(
-        r["p99_batch_latency_s"] for r in runs if r["p99_batch_latency_s"] is not None
-    )
+    p99s = [r["p99_batch_latency_s"] for r in runs if r["p99_batch_latency_s"] is not None]
+    best["p99_batch_latency_s"] = min(p99s) if p99s else None
     best["reps"] = reps
     return best
 

@@ -19,6 +19,13 @@ At 100 TB the same shape holds: codes/cells are computed in one
 Arrow-batched pass (mapInPandas, matrix multiply per batch), the bucket
 join shuffles on the bucket key — never the full cross product. The
 centroid fit stays cheap (sample ∝ cells, not corpus).
+
+The EXACT scorers (``broadcast_cosine_topk`` / ``broadcast_near_dup_
+pairs``) are distributed block matrix multiplies: both sides are packed
+into bounded index blocks executor-side (no driver ``collect()``
+anywhere), every (query-block × corpus-block) tile is scored with one
+numpy GEMM, and only per-tile top-k / threshold survivors shuffle into
+the final merge. The largest single allocation on any node is one tile.
 """
 
 from __future__ import annotations
@@ -75,53 +82,138 @@ TOPK_SCHEMA = T.StructType(
     ]
 )
 
+SCORED_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
 
-def broadcast_cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
-    """Exact cosine top-k via a broadcast corpus matrix + per-batch GEMM.
+BLOCK_SIZE = 4096
 
-    The index-scan model: the corpus (or, at 100 TB, an IVF/LSH index of
-    it) is broadcast to every executor; query rows stream through
-    ``mapInPandas`` and score against it with one numpy matrix multiply
-    per Arrow batch — no O(n²) join, no per-pair expression evaluation.
-    ~15× faster than the zip_with/aggregate cross-join at sf0.1 and the
-    shape that scales: queries partition freely, the broadcast is sent
-    once per executor. Results match ``plans.documents_gold
-    .emb_cosine_topk`` (same formula dot/sqrt(ssq·ssq), rounded to 6)."""
-    spark = emb.sparkSession
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    ssq = (mat * mat).sum(axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, ssq))
 
-    def fn(it):
-        b_ids, b_mat, b_ssq = bc.value
+def _round6_half_away(x: np.ndarray) -> np.ndarray:
+    """round(x, 6) with ties half-away-from-zero — the semantics of both
+    Spark's ``F.round`` (HALF_UP) and DuckDB's ``round`` (std::round), so
+    block-GEMM scores agree with the expression twins and the oracle on
+    exact .5e-6 boundaries (np.round is half-EVEN — a silent mismatch)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _vec_blocks(emb: DataFrame, block_size: int, prefix: str) -> DataFrame:
+    """Pack vectors into bounded index blocks EXECUTOR-side — one row per
+    block carrying aligned (ids, vecs) arrays. No driver materialization
+    anywhere: the pack is a groupBy on ``floor(vec_id / block_size)``
+    (swap in ``pmod(hash(vec_id), n)`` for sparse id spaces) and the
+    member arrays are built with ``collect_list`` + ``sort_array`` (struct
+    sort on the unique vec_id ⇒ deterministic layout)."""
+    members = F.sort_array(
+        F.collect_list(F.struct(F.col("vec_id"), F.col("v")))
+    )
+    return (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .groupBy(
+            F.floor(F.col("vec_id") / block_size).alias(f"{prefix}block_id")
+        )
+        .agg(members.alias("m"))
+        .select(
+            f"{prefix}block_id",
+            F.transform("m", lambda s: s.vec_id).alias(f"{prefix}ids"),
+            F.transform("m", lambda s: s.v).alias(f"{prefix}vecs"),
+        )
+    )
+
+
+def _block_pair_scores(
+    pairs: DataFrame, emit
+) -> DataFrame:
+    """Shared GEMM core of the block-matrix scorers: each input row is one
+    (query-block × corpus-block) tile with aligned id/vector arrays; one
+    numpy matrix multiply scores the whole tile, and ``emit(q_ids, c_ids,
+    sims)`` yields the rows to keep (partial top-k, threshold pairs, …).
+    Per-row Python here is per-TILE (thousands of vectors), not per
+    element — the loop body is a single GEMM."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if len(pdf) == 0:
-                continue
-            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q_ids = pdf["vec_id"].to_numpy()
-            sims = (q @ b_mat.T) / np.sqrt(
-                (q * q).sum(axis=1)[:, None] * b_ssq[None, :]
-            )
-            # mask self-pairs, take top-k with (cosine desc, neighbor asc)
-            self_mask = q_ids[:, None] == b_ids[None, :]
-            sims[self_mask] = -np.inf
-            order = np.lexsort((b_ids[None, :].repeat(len(q), 0), -sims), axis=1)
-            topk = order[:, :k]
-            out = pd.DataFrame(
-                {
-                    "vec_id": np.repeat(q_ids, k),
-                    "rank": np.tile(np.arange(1, k + 1, dtype=np.int64), len(q)),
-                    "neighbor_id": b_ids[topk].ravel(),
-                    "cosine": np.round(
-                        np.take_along_axis(sims, topk, axis=1).ravel(), 6
-                    ),
-                }
-            )
-            yield out
+            for q_ids, q_vecs, c_ids, c_vecs in zip(
+                pdf["q_ids"], pdf["q_vecs"], pdf["c_ids"], pdf["c_vecs"]
+            ):
+                qi = np.asarray(q_ids, dtype=np.int64)
+                ci = np.asarray(c_ids, dtype=np.int64)
+                q = np.stack(q_vecs).astype(np.float64)
+                c = np.stack(c_vecs).astype(np.float64)
+                sims = (q @ c.T) / np.sqrt(
+                    (q * q).sum(axis=1)[:, None] * (c * c).sum(axis=1)[None, :]
+                )
+                out = emit(qi, ci, sims)
+                if out is not None and len(out):
+                    yield out
 
-    return emb.select("vec_id", "embedding").mapInPandas(fn, schema=TOPK_SCHEMA)
+    return pairs.mapInPandas(fn, schema=SCORED_SCHEMA)
+
+
+def broadcast_cosine_topk(
+    emb: DataFrame, k: int = 5, block_size: int = BLOCK_SIZE
+) -> DataFrame:
+    """Exact cosine top-k as a distributed block matrix multiply.
+
+    Scale shape (no driver ``collect()`` anywhere in the lineage):
+
+      1. pack both sides into bounded index blocks executor-side
+         (``_vec_blocks``) — ≤ block_size vectors per row;
+      2. join every query block with every corpus block (the corpus side
+         is the broadcast-joined build side — at production scale it is
+         the *bounded reference index* being scored against, e.g. the
+         dedup fingerprint set, not the full corpus);
+      3. one GEMM per tile, keeping only the per-tile top-k per query
+         (``≤ k·n_blocks`` candidates per query ever shuffle);
+      4. a final window merge ranks the partial top-k — correct because
+         every global top-k element is top-k within its own tile under
+         the same (cosine desc, neighbor asc) total order.
+
+    ~15× faster than the zip_with/aggregate cross-join at sf0.1 and
+    driver-safe at 100 TB: the largest single allocation anywhere is one
+    tile (block_size² doubles). Results match ``plans.documents_gold
+    .emb_cosine_topk`` (same formula dot/sqrt(ssq·ssq), round-half-away
+    to 6 BEFORE ranking, ties broken by neighbor id)."""
+    qb = _vec_blocks(emb, block_size, "q_")
+    cb = _vec_blocks(emb, block_size, "c_")
+    tiles = qb.join(F.broadcast(cb))
+
+    def emit(qi: np.ndarray, ci: np.ndarray, sims: np.ndarray):
+        sims = _round6_half_away(sims)
+        sims[qi[:, None] == ci[None, :]] = -np.inf  # mask self-pairs
+        kk = min(k, sims.shape[1])
+        # per-tile top-k under (cosine desc, neighbor asc): lexsort is
+        # stable, last key primary
+        order = np.lexsort((ci[None, :].repeat(len(qi), 0), -sims), axis=1)
+        topk = order[:, :kk]
+        cos = np.take_along_axis(sims, topk, axis=1).ravel()
+        keep = cos > -np.inf
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(qi, kk)[keep],
+                "neighbor_id": ci[topk].ravel()[keep],
+                "cosine": cos[keep],
+            }
+        )
+
+    scored = _block_pair_scores(tiles, emit)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "cosine",
+        )
+    )
 
 
 def _rerank_candidates(emb: DataFrame, cand: DataFrame, k: int) -> DataFrame:
@@ -159,53 +251,39 @@ def _rerank_candidates(emb: DataFrame, cand: DataFrame, k: int) -> DataFrame:
     )
 
 
-def broadcast_near_dup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
-    """Exact cosine-threshold near-duplicate pairs via the same broadcast
-    corpus + per-batch GEMM shape as ``broadcast_cosine_topk`` — ~10×
+def broadcast_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.45, block_size: int = BLOCK_SIZE
+) -> DataFrame:
+    """Exact cosine-threshold near-duplicate pairs via the same
+    block-matrix-multiply shape as ``broadcast_cosine_topk`` — ~10×
     faster than the pair-expression cross-join
     (``plans/documents_gold.emb_near_dup_pairs``, kept as its oracle twin)
-    because scoring is one matrix multiply per Arrow batch instead of a
-    per-pair ``zip_with``/``aggregate`` expression chain. Emits each pair
-    once (vec_id_1 < vec_id_2); cosine rounded to 6 on both sides."""
-    spark = emb.sparkSession
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    ssq = (mat * mat).sum(axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, ssq))
+    because scoring is one GEMM per tile instead of a per-pair
+    ``zip_with``/``aggregate`` expression chain, and driver-safe because
+    no tile exceeds block_size² (no ``collect()`` in the lineage). The
+    (vec_id_1 < vec_id_2) canonical order prunes tiles where every query
+    id exceeds every corpus id (block ids are id-ordered), halving the
+    tile count. Cosine is round-half-away to 6 on both sides (matching
+    Spark/DuckDB ``round``; np.round would be half-even)."""
+    qb = _vec_blocks(emb, block_size, "q_")
+    cb = _vec_blocks(emb, block_size, "c_")
+    tiles = qb.join(F.broadcast(cb), F.col("q_block_id") <= F.col("c_block_id"))
 
-    schema = T.StructType(
-        [
-            T.StructField("vec_id_1", T.LongType()),
-            T.StructField("vec_id_2", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
+    def emit(qi: np.ndarray, ci: np.ndarray, sims: np.ndarray):
+        sims = _round6_half_away(sims)
+        keep = (qi[:, None] < ci[None, :]) & (sims >= threshold)
+        r, c = np.nonzero(keep)
+        if not len(r):
+            return None
+        return pd.DataFrame(
+            {"vec_id": qi[r], "neighbor_id": ci[c], "cosine": sims[r, c]}
+        )
+
+    return _block_pair_scores(tiles, emit).select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("neighbor_id").alias("vec_id_2"),
+        "cosine",
     )
-
-    def fn(it):
-        b_ids, b_mat, b_ssq = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q_ids = pdf["vec_id"].to_numpy()
-            sims = np.round(
-                (q @ b_mat.T)
-                / np.sqrt((q * q).sum(axis=1)[:, None] * b_ssq[None, :]),
-                6,
-            )
-            keep = (q_ids[:, None] < b_ids[None, :]) & (sims >= threshold)
-            qi, bi = np.nonzero(keep)
-            if len(qi):
-                yield pd.DataFrame(
-                    {
-                        "vec_id_1": q_ids[qi],
-                        "vec_id_2": b_ids[bi],
-                        "cosine": sims[qi, bi],
-                    }
-                )
-
-    return emb.select("vec_id", "embedding").mapInPandas(fn, schema=schema)
 
 
 def lsh_ann_topk(
@@ -260,6 +338,16 @@ def _kmeans_fit(sample: np.ndarray, n_cells: int, n_iter: int = 10) -> np.ndarra
     return centroids
 
 
+RANKED_CELL_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("ccos", T.DoubleType()),
+        T.StructField("crank", T.IntegerType()),
+    ]
+)
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     k: int = 5,
@@ -267,16 +355,29 @@ def ivf_ann_topk(
     nprobe: int = 4,
     sample_cap: int = 4096,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k by cosine.
+    """IVF (inverted-file) cosine top-k with a branch-and-bound
+    completeness guarantee — EXACT output on any corpus.
 
     Scale shape: centroids are k-means-fit on a bounded, deterministic
     driver-side sample (∝ n_cells, independent of corpus size) and
     broadcast; one Arrow-batched mapInPandas pass assigns every vector to
-    its nearest cell (the inverted file) and each query to its ``nprobe``
-    nearest cells; the candidate join shuffles on the cell id — never the
-    cross product. Exact re-ranking shares ``_rerank_candidates`` with
-    the LSH path, so output schema matches ``emb_cosine_topk`` for
-    recall@k measurement."""
+    its nearest cell (the inverted file); queries rank all cells by
+    centroid similarity. Candidate joins shuffle on the cell id — never
+    the cross product.
+
+    Exactness: after probing the ``nprobe`` nearest cells and re-ranking
+    (phase 1), each remaining cell is scanned ONLY if its best-possible
+    member cosine could still beat the query's current kth-best. The
+    bound is the spherical triangle inequality — angle(q, x) ≥
+    angle(q, centroid) − angle(centroid, x), so with the cell radius
+    θ_c = max member angle, bound = cos(max(θ_qc − θ_c, 0)). Any true
+    top-k neighbor missed by phase 1 scores above the phase-1 kth-best,
+    hence its cell's bound does too ⇒ its cell is scanned in phase 2.
+    On clustered corpora (the 100 TB case) the bound prunes most cells;
+    on an adversarial corpus with no locality (e.g. the near-orthogonal
+    test embeddings) it degenerates toward a full scan — slower, never
+    wrong. Output is bit-identical to ``plans.documents_gold
+    .emb_cosine_topk`` (same re-rank formula, rounding, tiebreak)."""
     spark = emb.sparkSession
     sample = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(sample_cap).collect()
@@ -288,35 +389,70 @@ def ivf_ann_topk(
     centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast(centroids)
 
-    def assign(n_nearest: int):
-        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cents = bc.value
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                v = v / np.linalg.norm(v, axis=1, keepdims=True)
-                sims = v @ cents.T  # (n, n_cells)
-                near = np.argsort(-sims, axis=1, kind="stable")[:, :n_nearest]
-                yield pd.DataFrame(
-                    {
-                        "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_nearest),
-                        "cell": near.ravel().astype(np.int32),
-                    }
-                )
-
-        return fn
+    def ranked_cells(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        nc = len(cents)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = np.clip(v @ cents.T, -1.0, 1.0)  # (n, n_cells)
+            order = np.argsort(-sims, axis=1, kind="stable")
+            rank = np.empty_like(order)
+            np.put_along_axis(rank, order, np.arange(1, nc + 1)[None, :].repeat(len(v), 0), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nc),
+                    "cell": np.tile(np.arange(nc, dtype=np.int32), len(v)),
+                    "ccos": sims.ravel(),
+                    "crank": rank.ravel().astype(np.int32),
+                }
+            )
 
     vecs = emb.select("vec_id", "embedding")
-    index = vecs.mapInPandas(assign(1), schema=CELL_SCHEMA).alias("i")
-    probes = vecs.mapInPandas(assign(nprobe), schema=CELL_SCHEMA).alias("q")
-    cand = (
-        probes.join(
-            index,
-            (F.col("q.cell") == F.col("i.cell"))
-            & (F.col("q.vec_id") != F.col("i.vec_id")),
-        )
-        .select(F.col("q.vec_id").alias("vec_id"), F.col("i.vec_id").alias("neighbor_id"))
-        .distinct()
+    cells = vecs.mapInPandas(ranked_cells, schema=RANKED_CELL_SCHEMA).cache()
+    # inverted file: each vector lives in its nearest cell
+    index = cells.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("member_id"), "cell", F.col("ccos").alias("mcos")
     )
-    return _rerank_candidates(emb, cand, k)
+    # cell radius as min member-centroid cosine (cos of the max angle)
+    radius = index.groupBy("cell").agg(F.min("mcos").alias("rcos"))
+
+    def candidates(probe_cells: DataFrame) -> DataFrame:
+        return (
+            probe_cells.join(index, "cell")
+            .filter(F.col("vec_id") != F.col("member_id"))
+            .select("vec_id", F.col("member_id").alias("neighbor_id"))
+        )
+
+    p1 = _rerank_candidates(
+        emb, candidates(cells.filter(F.col("crank") <= nprobe)).distinct(), k
+    )
+    # kth-best so far per query; queries with < k phase-1 candidates keep
+    # every cell (sk below any cosine)
+    sk = p1.groupBy("vec_id").agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(-2.0))
+        .otherwise(F.min("cosine"))
+        .alias("sk")
+    )
+    # spherical bound: best possible member cosine in an unprobed cell
+    qcos, rcos = F.col("ccos"), F.col("rcos")
+    bound = F.when(qcos >= rcos, F.lit(1.0)).otherwise(
+        qcos * rcos
+        + F.sqrt(F.greatest(1 - qcos * qcos, F.lit(0.0)))
+        * F.sqrt(F.greatest(1 - rcos * rcos, F.lit(0.0)))
+    )
+    p2_cells = (
+        cells.filter(F.col("crank") > nprobe)
+        .join(F.broadcast(radius), "cell")
+        .join(sk, "vec_id", "left")
+        # 1e-4 float margin: bounds come from a float64 GEMM, the re-rank
+        # from Spark expressions — extra candidates are cost, never error
+        .filter(bound >= F.coalesce(F.col("sk"), F.lit(-2.0)) - 1e-4)
+        .select("vec_id", "cell")
+    )
+    all_cand = candidates(
+        cells.filter(F.col("crank") <= nprobe).select("vec_id", "cell").union(p2_cells)
+    ).distinct()
+    return _rerank_candidates(emb, all_cand, k)

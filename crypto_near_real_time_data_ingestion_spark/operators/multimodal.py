@@ -71,6 +71,8 @@ def decode_media(payload: bytes, media_type: str):  # pragma: no cover - real pa
 
 
 def _features_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .ann import _round6_half_away
+
     for pdf in it:
         if len(pdf) == 0:
             continue
@@ -83,7 +85,15 @@ def _features_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             checksum = int(b.astype(np.uint64).sum()) & 0xFFFFFFFF
             counts = np.bincount(b, minlength=256).astype(np.float64)
             p = counts[counts > 0] / max(n, 1)
-            entropy = float(-(p * np.log2(p)).sum()) if n else 0.0
+            # round(·,6) half-away: numpy's pairwise sum and the oracle's
+            # sequential list_sum differ at last-ulp only — 6-decimal
+            # rounding is the cross-engine-stable contract (entropy is
+            # not decimal-boundary-massed)
+            entropy = (
+                float(_round6_half_away(np.array([-(p * np.log2(p)).sum()]))[0])
+                if n
+                else 0.0
+            )
             # deterministic fake decode metadata (stub for PIL/ffmpeg)
             rows.append(
                 (
@@ -188,3 +198,54 @@ def frame_sample(media: DataFrame, every_n: int = 8, frame_bytes: int = 1024) ->
     return media.filter(F.col("media_type") == "video").mapInPandas(
         fn, schema=FRAMES_SCHEMA
     )
+
+
+# DuckDB oracle for the stubbed feature extractor: every feature is
+# deterministic byte math over encode(text) — checksum (byte sum mod
+# 2^32), byte-histogram Shannon entropy (round 6, see _features_udf
+# note), and the fake decode dims derived from the checksum. Bytes are
+# recovered from hex(encode(text)) pairs (DuckDB blobs have no direct
+# byte indexing).
+MEDIA_FEATURES_ORACLE_SQL = """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE text IS NOT NULL
+),
+b AS (
+    SELECT media_id, n_bytes,
+           unnest(list_transform(range(0, n_bytes),
+               i -> (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16
+                  + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1)) AS byte
+    FROM m
+),
+cs AS (
+    SELECT media_id, CAST(sum(byte) % 4294967296 AS BIGINT) AS checksum32
+    FROM b GROUP BY 1
+),
+ent AS (
+    SELECT media_id,
+           round(-list_sum(list_transform(probs, p -> p * log2(p))), 6) AS byte_entropy
+    FROM (
+        SELECT media_id, list(c ORDER BY byte) AS probs
+        FROM (
+            SELECT media_id, byte,
+                   CAST(count(*) AS DOUBLE) / any_value(n_bytes) AS c
+            FROM b GROUP BY media_id, byte
+        ) GROUP BY media_id
+    )
+)
+SELECT m.media_id, m.media_type, m.n_bytes, cs.checksum32,
+       CAST(320 + cs.checksum32 % 1600 AS INTEGER) AS fake_width,
+       CAST(240 + (cs.checksum32 // 256) % 900 AS INTEGER) AS fake_height,
+       CAST(CASE WHEN m.media_type <> 'video' THEN 1
+            ELSE 24 + cs.checksum32 % 240 END AS INTEGER) AS fake_n_frames,
+       ent.byte_entropy
+FROM m
+JOIN cs USING (media_id)
+JOIN ent USING (media_id)
+"""

@@ -16,10 +16,14 @@ measure recall):
                 window of k-gram hashes) — document fingerprinting for
                 containment/overlap detection.
 
-All hashing is deterministic splitmix64-style integer mixing over
-xxhash-free custom shingle hashes — reproducible across runs/machines,
-no Python ``hash()``. Computation is numpy-vectorized inside pandas UDFs
-(Arrow batches; no per-row Python in the shuffle path).
+All hashing is deterministic splitmix64-finalized Horner polynomial
+hashing over the shingle bytes — reproducible across runs/machines (no
+Python ``hash()``) AND re-derivable in ANSI/DuckDB SQL (HUGEINT mod-2⁶⁴
+arithmetic), which is what lets the driver oracle-check the simhash and
+winnowing outputs value-by-value. Hashing is fully vectorized: one numpy
+pass over the Arrow batch's flattened byte buffer (offsets-array Horner
+fold — zero per-shingle Python calls), signatures/bands by
+``reduceat``/reshape reductions.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -38,6 +43,13 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 N_PERMS = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_PERMS // N_BANDS
+
+# Horner polynomial base (the FNV-1 prime). h(s) = splitmix64(
+# fold(h*P + byte mod 2^64)) — sequential in the char index but
+# vectorized ACROSS all shingles of a batch (one masked numpy step per
+# char position over the flattened buffer).
+POLY_P = 1099511628211
+_POLY_P = np.uint64(POLY_P)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -53,16 +65,40 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
-def _shingle_hashes(shingles: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hash per shingle: first 8 bytes of md5 (C-speed
-    via hashlib — no per-byte Python), splitmix64-finalized. Stable across
-    runs/machines (unlike Python's seeded ``hash()``)."""
-    import hashlib as _hl
+def _hash_flat_strings(flat: list) -> np.ndarray:
+    """64-bit hash per string, vectorized over the whole batch: build one
+    Arrow string array (C-level, no per-string Python), Horner-fold its
+    flattened uint8 buffer with one masked numpy step per char position,
+    splitmix64-finalize. Shingles are ASCII by construction (WORD_RE
+    tokens + spaces), so the byte fold equals the per-codepoint fold the
+    DuckDB oracle computes with ``ord(substr(...))``."""
+    if not len(flat):
+        return np.empty(0, dtype=np.uint64)
+    arr = pa.array(flat, type=pa.large_string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    offs = offs[arr.offset : arr.offset + len(arr) + 1]
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts, lens = offs[:-1], np.diff(offs)
+    h = np.zeros(len(flat), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for p in range(int(lens.max()) if len(lens) else 0):
+            active = lens > p
+            h[active] = h[active] * _POLY_P + buf[starts[active] + p].astype(
+                np.uint64
+            )
+    return _splitmix64(h)
 
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(_hl.md5(s.encode("utf-8")).digest()[:8], "little")
-    return _splitmix64(out)
+
+def _batch_segments(shingle_col: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hashes, seg_starts, seg_lens) for a batch column of shingle lists:
+    every shingle of the batch hashed in one vectorized pass, plus the
+    per-document segment layout for ``reduceat`` reductions."""
+    lists = [list(x) for x in shingle_col]
+    seg_lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+    flat = [s for x in lists for s in x]
+    hashes = _hash_flat_strings(flat)
+    seg_starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1])) if len(lists) else np.empty(0, np.int64)
+    return hashes, seg_starts, seg_lens
 
 
 # fixed per-permutation affine coefficients (seeded, deterministic)
@@ -71,17 +107,44 @@ _A = _rng.integers(1, (1 << 61) - 1, size=N_PERMS, dtype=np.uint64) | np.uint64(
 _B = _rng.integers(0, (1 << 61) - 1, size=N_PERMS, dtype=np.uint64)
 
 
-def _minhash_sig(hashes: np.ndarray) -> np.ndarray:
-    """64 minhash values via affine permutations mod Mersenne prime."""
-    if len(hashes) == 0:
-        return np.full(N_PERMS, np.iinfo(np.int64).max, dtype=np.int64)
+def _minhash_sigs_batch(
+    hashes: np.ndarray, seg_starts: np.ndarray, seg_lens: np.ndarray
+) -> np.ndarray:
+    """(n_docs × N_PERMS) minhash signatures for a whole batch: one affine
+    transform over every shingle of the batch, per-document mins via
+    ``minimum.reduceat`` — no per-document Python. Empty documents get
+    the int64.max sentinel signature."""
+    n = len(seg_lens)
+    sigs = np.full((n, N_PERMS), np.iinfo(np.int64).max, dtype=np.int64)
+    nonempty = seg_lens > 0
+    if not nonempty.any():
+        return sigs
     h = hashes % _MERSENNE
-    # (perms × shingles) affine transform, min over shingles; uint64
+    # (perms × shingles) affine transform; min per doc segment. uint64
     # wraparound in the product is deliberate extra mixing (minhash only
     # needs a fixed pseudo-permutation, not exact modular arithmetic)
     with np.errstate(over="ignore"):
-        vals = (np.outer(_A, h) + _B[:, None]) % _MERSENNE
-    return vals.min(axis=1).astype(np.int64)
+        vals = (_A[:, None] * h[None, :] + _B[:, None]) % _MERSENNE
+    mins = np.minimum.reduceat(vals, seg_starts[nonempty], axis=1)
+    # reduceat reduces from each start to the NEXT start in the index list
+    # (not the segment end) — passing only non-empty starts keeps every
+    # reduced span aligned with its segment except trailing-empty runs,
+    # which contribute no rows of their own
+    sigs[nonempty] = mins.T.astype(np.int64)
+    return sigs
+
+
+def _band_hashes_batch(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs × N_BANDS) band bucket hashes: fold each band's rows with
+    splitmix64(bh ^ value), vectorized over (docs × bands) at once."""
+    n = len(sigs)
+    chunks = sigs.astype(np.uint64).reshape(n, N_BANDS, ROWS_PER_BAND)
+    bh = np.broadcast_to(
+        np.arange(1, N_BANDS + 1, dtype=np.uint64), (n, N_BANDS)
+    ).copy()
+    for r in range(ROWS_PER_BAND):
+        bh = _splitmix64(bh ^ chunks[:, :, r])
+    return bh.astype(np.int64)
 
 
 MINHASH_SCHEMA = T.StructType(
@@ -95,21 +158,18 @@ MINHASH_SCHEMA = T.StructType(
 
 def _minhash_bands_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        rows_doc, rows_band, rows_hash = [], [], []
-        for doc_id, shingles in zip(pdf["doc_id"], pdf["shingles"]):
-            sig = _minhash_sig(_shingle_hashes(list(shingles)))
-            for b in range(N_BANDS):
-                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND].astype(
-                    np.uint64
-                )
-                bh = np.uint64(b + 1)
-                for v in chunk:
-                    bh = _splitmix64(np.uint64(bh) ^ np.uint64(v))
-                rows_doc.append(doc_id)
-                rows_band.append(b)
-                rows_hash.append(np.int64(bh))
+        if len(pdf) == 0:
+            continue
+        hashes, seg_starts, seg_lens = _batch_segments(pdf["shingles"])
+        sigs = _minhash_sigs_batch(hashes, seg_starts, seg_lens)
+        bands = _band_hashes_batch(sigs)
+        n = len(pdf)
         yield pd.DataFrame(
-            {"doc_id": rows_doc, "band": rows_band, "band_hash": rows_hash}
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), N_BANDS),
+                "band": np.tile(np.arange(N_BANDS, dtype=np.int32), n),
+                "band_hash": bands.ravel(),
+            }
         )
 
 
@@ -173,22 +233,31 @@ SIMHASH_SCHEMA = T.StructType(
 def _simhash_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     bit_idx = np.arange(64, dtype=np.uint64)
     for pdf in it:
-        ids, sigs = [], []
-        for doc_id, shingles in zip(pdf["doc_id"], pdf["shingles"]):
-            h = _shingle_hashes(list(shingles))
-            if len(h) == 0:
-                ids.append(doc_id)
-                sigs.append(0)
-                continue
-            bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
-            score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            sig = np.uint64(0)
+        if len(pdf) == 0:
+            continue
+        hashes, seg_starts, seg_lens = _batch_segments(pdf["shingles"])
+        n = len(pdf)
+        sigs = np.zeros(n, dtype=np.uint64)
+        nonempty = seg_lens > 0
+        if nonempty.any():
+            # ±1 votes per bit over every shingle of the batch; per-doc
+            # sums via add.reduceat (same contiguous-segment layout as
+            # the minhash reduction)
+            votes = (
+                2
+                * ((hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                - 1
+            )
+            scores = np.add.reduceat(votes, seg_starts[nonempty], axis=0)
+            sig_ne = np.zeros(len(scores), dtype=np.uint64)
             for j in range(64):
-                if score[j] > 0:
-                    sig |= np.uint64(1) << np.uint64(j)
-            ids.append(doc_id)
-            sigs.append(np.int64(sig))
-        yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+                sig_ne |= (scores[:, j] > 0).astype(np.uint64) << np.uint64(j)
+            sigs[nonempty] = sig_ne
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].to_numpy(), "simhash": sigs.astype(np.int64)}
+        )
 
 
 def simhash_signatures(shingled: DataFrame) -> DataFrame:
@@ -249,7 +318,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 FINGERPRINT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("fingerprints", T.ArrayType(T.LongType())),
+        T.StructField("fingerprint", T.LongType()),
     ]
 )
 
@@ -257,30 +326,40 @@ FINGERPRINT_SCHEMA = T.StructType(
 def _winnow_udf(window: int):
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if len(pdf) == 0:
+                continue
+            hashes, seg_starts, seg_lens = _batch_segments(pdf["shingles"])
+            signed = hashes.astype(np.int64)
             ids, fps = [], []
-            for doc_id, shingles in zip(pdf["doc_id"], pdf["shingles"]):
-                h = _shingle_hashes(list(shingles)).astype(np.int64)
+            doc_ids = pdf["doc_id"].to_numpy()
+            for d in range(len(doc_ids)):
+                h = signed[seg_starts[d] : seg_starts[d] + seg_lens[d]]
                 if len(h) == 0:
-                    ids.append(doc_id)
-                    fps.append([])
                     continue
                 if len(h) <= window:
-                    sel = {int(h.min())}
+                    sel = np.array([h.min()])
                 else:
                     view = np.lib.stride_tricks.sliding_window_view(h, window)
-                    sel = set(int(x) for x in view.min(axis=1))
-                ids.append(doc_id)
-                fps.append(sorted(sel))
-            yield pd.DataFrame({"doc_id": ids, "fingerprints": fps})
+                    sel = np.unique(view.min(axis=1))
+                ids.append(np.full(len(sel), doc_ids[d], dtype=np.int64))
+                fps.append(sel)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "fingerprint": np.concatenate(fps),
+                    }
+                )
 
     return fn
 
 
 def winnow_fingerprints(docs: DataFrame, window: int = 4) -> DataFrame:
-    """Winnowing document fingerprints (min-hash per sliding window of
-    shingle hashes — the MOSS scheme). Ordered shingles, not distinct."""
-    from ..plans.documents_gold import doc_shingles
-
+    """Winnowing document fingerprints (min hash in each sliding window of
+    k-gram hashes — the MOSS scheme) over ORDERED (positional) shingles.
+    Emits relational scalar rows (doc_id, fingerprint) — one row per
+    distinct selected fingerprint — the shape a containment join
+    consumes (and the shape the driver canonicalizer can hash)."""
     # winnowing needs positional shingles: rebuild without array_distinct
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
     d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
@@ -298,3 +377,131 @@ def winnow_fingerprints(docs: DataFrame, window: int = 4) -> DataFrame:
     )
     shingled = d.select("doc_id", shingle.alias("shingles"))
     return shingled.mapInPandas(_winnow_udf(window), schema=FINGERPRINT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL: re-derive the EXACT splitmix64(Horner) hashes in
+# HUGEINT mod-2^64 arithmetic so the driver can value-check simhash and
+# winnowing outputs. The two big splitmix constants are multiplied via a
+# 32-bit hi/lo split (a full 64×64 product overflows INT128).
+# ---------------------------------------------------------------------------
+
+_M_SQL = "18446744073709551616::HUGEINT"  # 2^64
+
+
+def _mulmod_sql(a: str, c: int) -> str:
+    """(a * c) mod 2^64 in HUGEINT without overflowing INT128."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"(((((({a})::HUGEINT % 4294967296::HUGEINT) * {hi}::HUGEINT)"
+        f" % 4294967296::HUGEINT) * 4294967296::HUGEINT"
+        f" + ({a})::HUGEINT * {lo}::HUGEINT) % {_M_SQL})"
+    )
+
+
+def _xorshift_sql(z: str, n: int) -> str:
+    return f"xor(CAST({z} AS UBIGINT), CAST({z} AS UBIGINT) >> {n})"
+
+
+def _hash_chain_cte_sql(src: str) -> str:
+    """CTE chain mapping relation ``{src}`` (doc_id, pos, s) to ``hashed``
+    (doc_id, pos, hu UBIGINT, h BIGINT): hu = splitmix64(Horner(s)),
+    h = hu reinterpreted as signed int64 (numpy ``astype(int64)``)."""
+    horner = (
+        "CAST(list_reduce(list_prepend(0::HUGEINT, "
+        "list_transform(range(1, length(s) + 1), "
+        "i -> ord(substr(s, i, 1))::HUGEINT)), "
+        f"(a, b) -> (a * {POLY_P}::HUGEINT + b) % {_M_SQL}) AS UBIGINT)"
+    )
+    return f"""
+hx0 AS (SELECT doc_id, pos, {horner} AS x0 FROM {src}),
+hx1 AS (SELECT doc_id, pos,
+        CAST((x0::HUGEINT + 11400714819323198485::HUGEINT) % {_M_SQL} AS UBIGINT) AS x1
+        FROM hx0),
+hx2 AS (SELECT doc_id, pos,
+        CAST({_mulmod_sql(_xorshift_sql('x1', 30), 0xBF58476D1CE4E5B9)} AS UBIGINT) AS z1
+        FROM hx1),
+hx3 AS (SELECT doc_id, pos,
+        CAST({_mulmod_sql(_xorshift_sql('z1', 27), 0x94D049BB133111EB)} AS UBIGINT) AS z2
+        FROM hx2),
+hashed AS (SELECT doc_id, pos, {_xorshift_sql('z2', 31)} AS hu,
+           CAST(CASE WHEN {_xorshift_sql('z2', 31)} >= 9223372036854775808::UBIGINT
+                THEN ({_xorshift_sql('z2', 31)})::HUGEINT - {_M_SQL}
+                ELSE ({_xorshift_sql('z2', 31)})::HUGEINT END AS BIGINT) AS h
+           FROM hx3)"""
+
+
+def winnow_oracle_sql(window: int = 4) -> str:
+    """DuckDB re-derivation of ``winnow_fingerprints`` (same positional
+    shingles, same hash, same sliding-window-min selection)."""
+    return f"""
+WITH l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+e AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s,
+           unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS pos
+    FROM l
+),
+{_hash_chain_cte_sql('e')},
+sgn AS (
+    SELECT doc_id, pos, h,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM hashed
+),
+win AS (
+    SELECT doc_id, pos, n,
+           CASE WHEN n <= {window} THEN min(h) OVER (PARTITION BY doc_id)
+                ELSE min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+           END AS fp
+    FROM sgn
+)
+SELECT DISTINCT doc_id, fp AS fingerprint
+FROM win
+WHERE n <= {window} OR pos <= n - {window} + 1
+"""
+
+
+def simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB re-derivation of ``simhash_pairs``: same DISTINCT shingles,
+    same hash, bit-majority signature, all-pairs hamming filter (the
+    Spark plan's 4-block pigeonhole join is a lossless optimization of
+    exactly this semantics for hamming ≤ 3)."""
+    return f"""
+WITH l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+g AS (
+    SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(toks) - 2, 0) + 1),
+        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+    FROM l
+),
+e AS (SELECT doc_id, unnest(shingles) AS s, 0::BIGINT AS pos FROM g),
+{_hash_chain_cte_sql('e')},
+bits AS (
+    SELECT doc_id, j,
+           CASE WHEN (hu >> j::INTEGER) & 1::UBIGINT = 1::UBIGINT
+                THEN 1 ELSE -1 END AS pm
+    FROM hashed CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jj
+),
+score AS (SELECT doc_id, j, sum(pm) AS sc FROM bits GROUP BY 1, 2),
+sig AS (
+    SELECT doc_id,
+           CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+                THEN su - {_M_SQL} ELSE su END AS BIGINT) AS simhash
+    FROM (SELECT doc_id,
+                 sum(CASE WHEN sc > 0 THEN (1::UBIGINT << j::INTEGER)::HUGEINT
+                     ELSE 0::HUGEINT END) AS su
+          FROM score GROUP BY doc_id)
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -134,20 +134,16 @@ def events_ohlc(events: DataFrame, grain: str = "hour") -> DataFrame:
     deterministic tiebreak fixing its exact-tie nondeterminism."""
     if grain not in OHLC_GRAINS:
         raise ValueError(f"grain must be one of {OHLC_GRAINS}")
-    order = F.expr("CASE WHEN value IS NOT NULL THEN struct(ts, event_id) END")
+    order_sql = "CASE WHEN value IS NOT NULL THEN struct(ts, event_id) END"
     return (
         events.groupBy(
             F.col("user_id"), F.date_trunc(grain, F.col("ts")).alias("period")
         )
         .agg(
-            F.expr(
-                "min_by(value, CASE WHEN value IS NOT NULL THEN struct(ts, event_id) END)"
-            ).alias("open"),
+            F.expr(f"min_by(value, {order_sql})").alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.expr(
-                "max_by(value, CASE WHEN value IS NOT NULL THEN struct(ts, event_id) END)"
-            ).alias("close"),
+            F.expr(f"max_by(value, {order_sql})").alias("close"),
             F.count(F.lit(1)).alias("n_ticks"),
             F.sum(F.col("value").isNotNull().cast("long")).alias("valid_ticks"),
         )
