@@ -152,6 +152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_minute_qa"] = lambda s, d: eg.events_minute_qa(eg.read_events(s, d))
     q["events_ml_features"] = lambda s, d: eg.events_ml_features(eg.read_events(s, d))
     q["events_props_parse"] = lambda s, d: eg.events_props_parse(eg.read_events(s, d))
+    # P4-P6 literal: array/map JSON payload → explode_outer + map_entries
+    # + struct flatten (+ malformed→null repair)
+    q["events_json_entities"] = lambda s, d: eg.events_json_entities(
+        eg.read_events(s, d)
+    )
 
     # --- SQL API surface (S13 views analog): same gold-hour semantics
     # expressed as Spark SQL text over a registered view -------------------
@@ -312,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "events_minute_qa": eg.EVENTS_MINUTE_QA_ORACLE_SQL,
         "events_ml_features": eg.EVENTS_ML_ORACLE_SQL,
         "events_props_parse": eg.EVENTS_PROPS_ORACLE_SQL,
+        "events_json_entities": eg.EVENTS_JSON_ENTITIES_ORACLE_SQL,
         "sql_view_gold_hour": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, grain="hour"
         ),

@@ -53,6 +53,39 @@ FEATURES_SCHEMA = T.StructType(
 _PS = (0.5, 0.95, 0.99)
 
 
+def percentiles_from_sorted(sorted_buf: np.ndarray, m: int) -> tuple[float, ...]:
+    """(p50, p95, p99) of the first ``m`` elements of an already-sorted
+    microsecond buffer, divided to seconds once at the end. Weighted-sum
+    interpolation (hi-pos)*a + (pos-lo)*b — the exact arithmetic Spark
+    `percentile` / DuckDB `quantile_cont` use, bit-identical to both
+    (a + d*(b-a) differs in the last ULP). Shared by the batch
+    applyInPandas twin AND the streaming stateful operator (which keeps
+    its gap array sorted in state and inserts incrementally)."""
+    out = []
+    for p in _PS:
+        pos = p * (m - 1)
+        lo = int(np.floor(pos))
+        hi = int(np.ceil(pos))
+        v = (
+            sorted_buf[lo]
+            if lo == hi
+            else (hi - pos) * sorted_buf[lo] + (pos - lo) * sorted_buf[hi]
+        )
+        out.append(v / 1e6)
+    return tuple(out)
+
+
+def sorted_insert(sorted_buf: np.ndarray, m: int, g: float) -> int:
+    """Insert ``g`` into the sorted prefix ``sorted_buf[:m]`` (the buffer
+    must have spare capacity); returns the new prefix length. One
+    ``searchsorted`` + one memmove — the O(log n + n-move) incremental
+    step both rolling twins share (vs re-sorting per row: O(n log n))."""
+    j = np.searchsorted(sorted_buf[:m], g)
+    sorted_buf[j + 1 : m + 1] = sorted_buf[j:m]
+    sorted_buf[j] = g
+    return m + 1
+
+
 def _expanding_percentiles(gaps_us: np.ndarray) -> np.ndarray:
     """Row-wise expanding percentiles of the gap sequence (first row has no
     gap → NaN row). Returns (n, 3). Maintains an incrementally sorted
@@ -66,20 +99,9 @@ def _expanding_percentiles(gaps_us: np.ndarray) -> np.ndarray:
     for i in range(n):
         g = gaps_us[i]
         if not np.isnan(g):
-            j = np.searchsorted(sorted_buf[:m], g)
-            sorted_buf[j + 1 : m + 1] = sorted_buf[j:m]
-            sorted_buf[j] = g
-            m += 1
+            m = sorted_insert(sorted_buf, m, g)
         if m > 0:
-            for k, p in enumerate(_PS):
-                pos = p * (m - 1)
-                lo = int(np.floor(pos))
-                hi = int(np.ceil(pos))
-                if lo == hi:
-                    v = sorted_buf[lo]
-                else:
-                    v = (hi - pos) * sorted_buf[lo] + (pos - lo) * sorted_buf[hi]
-                out[i, k] = v / 1e6
+            out[i] = percentiles_from_sorted(sorted_buf, m)
     return out
 
 

@@ -116,6 +116,93 @@ GROUP BY event_type
 """
 
 
+def events_json_entities(events: DataFrame) -> DataFrame:
+    """P4–P6 literal: semi-structured bronze ingest of an ARRAY-of-entities
+    + MAP-of-attrs JSON payload — ``explode_outer`` (empty arrays and
+    malformed rows keep their row), ``map_entries`` (map → sortable
+    key/value struct array), struct-field flatten. The payload is built
+    from the row then round-tripped ``from_json(to_json(...), pinned
+    schema)`` — the reference's own bronze pattern
+    (``silver_glue_job.py:106-174``); every 7th row is deliberately
+    corrupted so the malformed→null repair path (P4) is exercised too.
+
+    Scale: pure Catalyst expressions end-to-end (JSON build/parse,
+    lambda transforms) — whole-stage codegen, no shuffle, no Python."""
+    ent = F.when(
+        F.col("event_id") % 3 == 0,
+        F.array().cast("array<struct<name:string,score:bigint>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), (F.col("event_id") % 2).cast("int")),
+            lambda i: F.struct(
+                F.concat(F.col("event_type"), F.lit("_"), i.cast("string")).alias(
+                    "name"
+                ),
+                ((F.col("event_id") + i) % 100).alias("score"),
+            ),
+        )
+    )
+    attrs = F.create_map(
+        F.lit("t"), F.col("event_type"), F.lit("u"), F.col("user_id").cast("string")
+    )
+    raw = F.to_json(F.struct(ent.alias("entities"), attrs.alias("attrs")))
+    # corrupt at byte 0: PERMISSIVE-mode partial results (Spark ≥3.4) can
+    # salvage a parsed prefix from *trailing* corruption — a leading
+    # garbage byte guarantees the all-null-fields row on both engines
+    raw = F.when(F.col("event_id") % 7 == 0, F.concat(F.lit("x"), raw)).otherwise(raw)
+    parsed = events.select(
+        "event_id",
+        F.from_json(
+            raw,
+            "struct<entities:array<struct<name:string,score:bigint>>,"
+            "attrs:map<string,string>>",
+        ).alias("p"),
+    )
+    kv_flat = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.map_entries(F.col("attrs"))),
+            lambda kv: F.concat(kv.key, F.lit("="), kv.value),
+        ),
+    )
+    return (
+        parsed.select(
+            "event_id",
+            F.explode_outer("p.entities").alias("e"),
+            F.col("p.attrs").alias("attrs"),
+        )
+        .select(
+            "event_id",
+            F.col("e.name").alias("entity_name"),
+            F.col("e.score").alias("entity_score"),
+            F.when(F.col("attrs").isNull(), F.lit(None).cast("string"))
+            .otherwise(kv_flat)
+            .alias("attrs_flat"),
+        )
+    )
+
+
+EVENTS_JSON_ENTITIES_ORACLE_SQL = """
+WITH base AS (SELECT event_id, event_type, user_id FROM events),
+good AS (SELECT * FROM base WHERE event_id % 7 <> 0),
+ent AS (
+    SELECT event_id, NULL AS entity_name, NULL AS entity_score,
+           event_type, user_id
+    FROM good WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT g.event_id, g.event_type || '_' || CAST(i AS VARCHAR),
+           (g.event_id + i) % 100, g.event_type, g.user_id
+    FROM good g CROSS JOIN (SELECT unnest(range(0, 2)) AS i) ii
+    WHERE g.event_id % 3 <> 0 AND i <= g.event_id % 2
+)
+SELECT event_id, entity_name, CAST(entity_score AS BIGINT) AS entity_score,
+       't=' || event_type || ',u=' || CAST(user_id AS VARCHAR) AS attrs_flat
+FROM ent
+UNION ALL
+SELECT event_id, NULL, NULL, NULL FROM base WHERE event_id % 7 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # W3/W4 + A3-A5 literal form: the OHLC job (gold_ohlc_h_d_w_m.py:53-93)
 # ---------------------------------------------------------------------------

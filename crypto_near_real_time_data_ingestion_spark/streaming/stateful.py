@@ -72,7 +72,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("buf_ts_us", T.ArrayType(T.LongType())),
         T.StructField("buf_tool", T.ArrayType(T.BooleanType())),
         T.StructField("emitted_turn_idx", T.ArrayType(T.IntegerType())),
-        T.StructField("gaps_us", T.ArrayType(T.DoubleType())),  # emission-ordered
+        T.StructField("gaps_us", T.ArrayType(T.DoubleType())),  # kept SORTED
         T.StructField("recent_ts_us", T.ArrayType(T.LongType())),
         T.StructField("emitted_count", T.LongType()),
         T.StructField("emitted_tool", T.LongType()),
@@ -86,24 +86,13 @@ STATE_SCHEMA = T.StructType(
 _EMPTY = ([], [], [], [], [], [], 0, 0, -1, -1, 0, -1)
 
 
-def _percentiles(gaps: np.ndarray) -> tuple[float, float, float]:
-    """Expanding exact percentiles. BIT-identical to Spark `percentile`
-    and DuckDB `quantile_cont`: both use the weighted-sum interpolation
-    ``(hi-pos)*a + (pos-lo)*b`` (NOT ``a + d*(b-a)``, which differs in the
-    last ULP and breaks the driver's exact value hash), with the exact
-    value returned when the rank lands on an integer position."""
-    if len(gaps) == 0:
-        return (np.nan, np.nan, np.nan)
-    s = np.sort(gaps)
-    out = []
-    n = len(s)
-    for p in (0.5, 0.95, 0.99):
-        pos = p * (n - 1)
-        lo = int(np.floor(pos))
-        hi = int(np.ceil(pos))
-        v = s[lo] if lo == hi else (hi - pos) * s[lo] + (pos - lo) * s[hi]
-        out.append(v / 1e6)
-    return tuple(out)
+# percentile interpolation + incremental sorted insert are SHARED with
+# the batch applyInPandas twin (operators/rolling.py) — the state's gap
+# array is kept sorted, so each emission costs one searchsorted insert
+# (O(log n + move)) instead of a full re-sort (O(n log n) per row).
+# BIT-identical to Spark `percentile` / DuckDB `quantile_cont` — see
+# percentiles_from_sorted notes.
+from ..operators.rolling import percentiles_from_sorted, sorted_insert  # noqa: E402
 
 
 def _step(
@@ -129,6 +118,7 @@ def _step(
     emitted_set = set(emitted_ti)
     gaps = list(gaps)
     recent = list(recent)
+    rhead = 0  # advancing window head — recent[] stays append-only per step
 
     # --- ingest new rows (exact dedup vs buffered+emitted)
     for pdf in pdf_iter:
@@ -151,6 +141,11 @@ def _step(
     out_rows: list[tuple] = []
     if buf_ti:
         order = np.lexsort((np.array(buf_ti), np.array(buf_ts)))
+        # sorted gap buffer with capacity for this step's emissions: one
+        # searchsorted insert per emitted turn (state keeps it sorted)
+        gbuf = np.empty(len(gaps) + len(order), dtype=np.float64)
+        m = len(gaps)
+        gbuf[:m] = gaps
         keep_ti, keep_ts, keep_tool = [], [], []
         for j in order:
             t_us = buf_ts[j]
@@ -162,7 +157,7 @@ def _step(
             # ---- emit this turn
             if last_ts >= 0:
                 gap_us = float(t_us - last_ts)
-                gaps.append(gap_us)
+                m = sorted_insert(gbuf, m, gap_us)
                 if gap_us >= gap_s * 1e6:
                     sess_id += 1
                     sess_start = t_us
@@ -175,8 +170,11 @@ def _step(
             last_ts = t_us
             recent.append(t_us)
             lo = t_us - 600_000_000
-            recent = [r for r in recent if r >= lo]
-            p50, p95, p99 = _percentiles(np.asarray(gaps, dtype="float64"))
+            while recent[rhead] < lo:  # emission order ⇒ recent is sorted
+                rhead += 1
+            p50, p95, p99 = (
+                percentiles_from_sorted(gbuf, m) if m else (np.nan,) * 3
+            )
             emitted_set.add(buf_ti[j])
             out_rows.append(
                 (
@@ -189,12 +187,14 @@ def _step(
                     p50,
                     p95,
                     p99,
-                    len(recent),
+                    len(recent) - rhead,
                     sess_id,
                     sess_start,
                 )
             )
         buf_ti, buf_ts, buf_tool = keep_ti, keep_ts, keep_tool
+        gaps = gbuf[:m].tolist()
+    recent = recent[rhead:]
 
     # --- persistence directive
     if buf_ti:

@@ -40,6 +40,26 @@ def test_events_props_parse(spark):
     assert_df_equal(got, want, sort_cols=["event_type"])
 
 
+def test_events_json_entities(spark):
+    """P4-P6 literal: explode_outer keeps empty-array and malformed rows,
+    map_entries flattens the attrs map, struct fields flatten to columns."""
+    from pyspark.sql import functions as F
+
+    from crypto_near_real_time_data_ingestion_spark.plans import events_gold as eg
+
+    events = eg.read_events(spark, SF_DIR)
+    got = eg.events_json_entities(events)
+    want = duck_sql(eg.EVENTS_JSON_ENTITIES_ORACLE_SQL)
+    assert_df_equal(got, want, sort_cols=["event_id", "entity_name"])
+    # explode_outer row-preservation: every source event appears
+    assert got.select("event_id").distinct().count() == events.count()
+    # malformed rows survive as all-null rows
+    assert (
+        got.filter((F.col("event_id") % 7 == 0) & F.col("attrs_flat").isNull()).count()
+        > 0
+    )
+
+
 def test_sql_view_gold_hour(spark, transcripts_parquet):
     from crypto_near_real_time_data_ingestion_spark.plans.gold_windows import (
         WINDOW_STATS_ORACLE_SQL_TEMPLATE,

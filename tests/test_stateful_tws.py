@@ -85,7 +85,16 @@ def test_step_core_eviction():
     assert st2 is None and timer is None
 
 
-@pytest.mark.skipif(not tws_available(), reason="TWS needs protobuf")
+@pytest.mark.skipif(
+    not tws_available(),
+    reason=(
+        "transformWithStateInPandas needs the google.protobuf wheel for its "
+        "state-server protocol; this container does not ship it (and "
+        "installs are disallowed). The TWS backend therefore runs UNIT-"
+        "TESTED-ONLY here (shared _step core, TTL/timer translation); this "
+        "e2e executes wherever `pip install protobuf` is possible."
+    ),
+)
 def test_tws_features_equal_batch(spark, transcripts_parquet, stream_parquet_dir):
     shutil.rmtree(WORK, ignore_errors=True)
     fsrc = build_flushed_source(stream_parquet_dir, os.path.join(WORK, "source"))
