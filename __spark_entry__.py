@@ -30,6 +30,9 @@ from crypto_near_real_time_data_ingestion_spark.datagen import (  # noqa: E402
     sf_from_dir,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import ann as ann_op  # noqa: E402
+from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
+    clusters as clusters_op,
+)
 from crypto_near_real_time_data_ingestion_spark.operators import joins as joins_op  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     multimodal as mm_op,
@@ -169,6 +172,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_ngram_jaccard"] = lambda s, d: dg.doc_ngram_jaccard_pairs(
         dg.read_documents(s, d)
     )
+    # training-context chunking, curation composition, and dup-cluster
+    # closure (iterative min-label components over the LSH pair graph,
+    # oracle = DuckDB recursive transitive closure)
+    q["doc_chunks"] = lambda s, d: dg.doc_chunks(dg.read_documents(s, d))
+    q["doc_curation"] = lambda s, d: dg.doc_curation_kept(dg.read_documents(s, d))
+    q["doc_dup_clusters"] = lambda s, d: clusters_op.doc_dup_clusters(
+        dg.read_documents(s, d)
+    )
     # GEMM/broadcast-index formulation is the headline (the ANN scale
     # shape); the pure-expression cross-join answers the same oracle
     q["emb_cosine_topk"] = lambda s, d: ann_op.broadcast_cosine_topk(
@@ -196,7 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dg.read_documents(s, d)
     )
     q["emb_lsh_ann_topk"] = lambda s, d: ann_op.lsh_ann_topk(
-        dg.read_embeddings(s, d), n_bits=2, n_tables=32
+        dg.read_embeddings(s, d), n_bits=2, n_tables=24
     )
     q["emb_ivf_ann_topk"] = lambda s, d: ann_op.ivf_ann_topk(dg.read_embeddings(s, d))
     q["media_features"] = lambda s, d: mm_op.extract_media_features(
@@ -378,6 +389,11 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "doc_exact_dedup": dg.DOC_EXACT_DEDUP_ORACLE_SQL,
+        "doc_chunks": dg.DOC_CHUNKS_ORACLE_SQL_TEMPLATE.format(
+            size=dg.CHUNK_SIZE, stride=dg.CHUNK_STRIDE
+        ),
+        "doc_curation": dg.DOC_CURATION_ORACLE_SQL,
+        "doc_dup_clusters": clusters_op.dup_clusters_oracle_sql(threshold=0.5),
         "doc_text_stats": dg.DOC_TEXT_STATS_ORACLE_SQL,
         "doc_langid": dg.DOC_LANGID_ORACLE_SQL,
         "doc_ngram_jaccard": dg.DOC_JACCARD_ORACLE_SQL_TEMPLATE.format(threshold=0.5),
@@ -389,7 +405,7 @@ def oracle_sql() -> dict[str, str]:
         # (true at 16 bands × 4 rows on this corpus; the pytest recall
         # bound pins it) — the exact plan's oracle therefore applies
         "doc_minhash_lsh": dg.DOC_JACCARD_ORACLE_SQL_TEMPLATE.format(threshold=0.5),
-        # graded LSH-ANN config (2 bits × 32 tables) has candidate recall
+        # graded LSH-ANN config (2 bits × 24 tables) has candidate recall
         # 1.0 on both graded corpora (pytest-pinned exact equality at
         # sf0.001 AND sf0.01 in test_documents_ops.py) and shares the
         # exact re-rank, so the exact top-k oracle applies; IVF is exact

@@ -219,30 +219,42 @@ def broadcast_cosine_topk(
 def _rerank_candidates(emb: DataFrame, cand: DataFrame, k: int) -> DataFrame:
     """Exact cosine re-ranking of a (vec_id, neighbor_id) candidate set —
     the verification stage shared by every bucketed ANN strategy. Joins
-    the candidate pairs back to their vectors (shuffle ∝ candidates) and
-    keeps top-k per query by (cosine desc, neighbor asc)."""
+    the candidate pairs back to their vectors (shuffle ∝ candidates),
+    scores each Arrow batch with one vectorized numpy row-wise dot
+    (einsum — ~20× the throughput of a per-pair ``zip_with``/
+    ``aggregate`` expression chain), and keeps top-k per query by
+    (cosine desc, neighbor asc). Rounding is half-away(6), the same
+    grid the exact expression plan and the DuckDB oracle rank on."""
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("ssq", F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
     j = (
-        cand.join(e.select(F.col("vec_id"), F.col("v").alias("v1"), F.col("ssq").alias("s1")), "vec_id")
+        cand.join(e.select(F.col("vec_id"), F.col("v").alias("v1")), "vec_id")
         .join(
-            e.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("v").alias("v2"),
-                F.col("ssq").alias("s2"),
-            ),
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v2")),
             "neighbor_id",
         )
+        .select("vec_id", "neighbor_id", "v1", "v2")
     )
-    dot = F.aggregate(
-        F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    scored = j.select(
-        "vec_id",
-        "neighbor_id",
-        F.round(dot / F.sqrt(F.col("s1") * F.col("s2")), 6).alias("cosine"),
-    )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v1 = np.stack(pdf["v1"].to_numpy()).astype(np.float64)
+            v2 = np.stack(pdf["v2"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", v1, v2) / np.sqrt(
+                np.einsum("ij,ij->i", v1, v1) * np.einsum("ij,ij->i", v2, v2)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine": _round6_half_away(cos),
+                }
+            )
+
+    scored = j.mapInPandas(score, schema=SCORED_SCHEMA)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

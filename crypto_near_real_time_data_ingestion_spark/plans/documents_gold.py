@@ -309,3 +309,112 @@ SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# training-context chunking + curation pipeline
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunks(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping token-window chunks — the context-window split every
+    LLM training pipeline runs before tokenization. One row per (doc,
+    chunk): chunk_idx, the reconstructed chunk text, token count.
+
+    Pure Catalyst (regexp tokenize → ``posexplode(sequence(...))`` →
+    ``slice``/``concat_ws``): whole-stage codegen, zero Python, no
+    shuffle — the plan a 100 TB corpus split wants (chunk fan-out is
+    map-side; downstream repartition is the consumer's choice)."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+    return (
+        d.select(
+            "doc_id",
+            "toks",
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(" ", F.slice("toks", F.col("start"), size)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice("toks", F.col("start"), size))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+DOC_CHUNKS_ORACLE_SQL_TEMPLATE = """
+WITH l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+s AS (
+    SELECT doc_id, toks,
+           unnest(range(1, len(toks) + 1, {stride})) AS start
+    FROM l
+)
+SELECT doc_id,
+       CAST((start - 1) / {stride} AS INTEGER) AS chunk_idx,
+       array_to_string(toks[start : least(start + {size} - 1, len(toks))], ' ')
+           AS chunk_text,
+       CAST(least(start + {size} - 1, len(toks)) - start + 1 AS BIGINT)
+           AS n_tokens
+FROM s
+"""
+
+
+def doc_curation_kept(docs: DataFrame) -> DataFrame:
+    """End-to-end curation pipeline composing the quality ops: keep a doc
+    iff (a) heuristic language-ID says English, (b) quality thresholds
+    pass (stopword density, letter ratio, length band), and (c) it is
+    the CANONICAL copy of its exact-dup group (min doc_id per text
+    hash). Output = kept doc ids + the features that kept them — the
+    filter manifest a training-data pipeline audits.
+
+    Plan shape: the stats/langid branch is pure Catalyst expressions;
+    the canonical branch is one hash shuffle (md5 groupBy) joined back
+    broadcast-style; at 100 TB the join key is the 16-byte hash."""
+    stats = doc_text_stats(docs)
+    lang = doc_langid(docs)
+    canon = doc_exact_dedup(docs).select(
+        F.col("canonical_doc_id").alias("doc_id"), "n_copies"
+    )
+    return (
+        stats.join(lang, "doc_id")
+        .join(canon, "doc_id")  # inner join == "is canonical"
+        .filter(
+            (F.col("predicted_lang") == "en")
+            & (F.col("stopword_ratio") >= 0.03)
+            & (F.col("letter_ratio") >= 0.6)
+            & (F.col("n_tokens_ws").between(20, 2000))
+        )
+        .select(
+            "doc_id",
+            "n_tokens_ws",
+            "stopword_ratio",
+            "letter_ratio",
+            "n_copies",
+        )
+    )
+
+
+DOC_CURATION_ORACLE_SQL = (
+    "WITH s AS (" + DOC_TEXT_STATS_ORACLE_SQL + "), "
+    "lang AS (SELECT doc_id, CASE WHEN stopword_ratio >= 0.03 AND "
+    "letter_ratio >= 0.5 THEN 'en' ELSE 'unknown' END AS predicted_lang FROM s), "
+    "canon AS (SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies "
+    "FROM documents WHERE text IS NOT NULL GROUP BY md5(text)) "
+    "SELECT s.doc_id, s.n_tokens_ws, s.stopword_ratio, s.letter_ratio, c.n_copies "
+    "FROM s JOIN lang l ON s.doc_id = l.doc_id JOIN canon c ON s.doc_id = c.doc_id "
+    "WHERE l.predicted_lang = 'en' AND s.stopword_ratio >= 0.03 "
+    "AND s.letter_ratio >= 0.6 AND s.n_tokens_ws BETWEEN 20 AND 2000"
+)

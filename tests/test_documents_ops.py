@@ -139,7 +139,7 @@ def test_winnow_fingerprints_match_oracle(spark):
 
 
 def test_lsh_ann_graded_config_equals_exact_both_sfs(spark):
-    """The graded LSH-ANN config (2 bits × 32 tables) has candidate recall
+    """The graded LSH-ANN config (2 bits × 24 tables) has candidate recall
     1.0 on both corpora ⇒ output bit-equals the exact top-k (the driver
     grades it against the exact oracle). The default config stays a
     genuine approximation — recall floor only."""
@@ -147,7 +147,7 @@ def test_lsh_ann_graded_config_equals_exact_both_sfs(spark):
         emb = dg.read_embeddings(spark, sf_dir)
         exact = dg.emb_cosine_topk(emb, k=5)
         _pd_equal(
-            lsh_ann_topk(emb, k=5, n_bits=2, n_tables=32),
+            lsh_ann_topk(emb, k=5, n_bits=2, n_tables=24),
             exact,
             ["vec_id", "rank"],
         )
@@ -270,3 +270,48 @@ def test_round6_half_away_matches_spark_round():
     assert np.array_equal(got, want), (got, want)
     # np.round would get the odd-boundary cases wrong (half-even)
     assert not np.array_equal(np.round(x, 6), want)
+
+
+def test_doc_chunks(spark):
+    got = dg.doc_chunks(_docs(spark))
+    want = duck_sql(
+        dg.DOC_CHUNKS_ORACLE_SQL_TEMPLATE.format(size=dg.CHUNK_SIZE, stride=dg.CHUNK_STRIDE)
+    )
+    _pd_equal(got, want, ["doc_id", "chunk_idx"])
+    # overlap invariant: consecutive chunks share size - stride tokens
+    pdf = got.toPandas()
+    multi = pdf.groupby("doc_id").size()
+    assert (multi >= 1).all()
+    full = pdf[pdf["n_tokens"] == dg.CHUNK_SIZE]
+    if len(full):
+        assert full["chunk_text"].str.split().map(len).eq(dg.CHUNK_SIZE).all()
+
+
+def test_doc_curation(spark):
+    got = dg.doc_curation_kept(_docs(spark))
+    want = duck_sql(dg.DOC_CURATION_ORACLE_SQL)
+    _pd_equal(got, want, ["doc_id"])
+    assert got.count() > 0
+
+
+def test_doc_dup_clusters(spark):
+    """Components over the verified LSH pair graph == DuckDB recursive
+    transitive closure; planted dup groups collapse to one cluster."""
+    from crypto_near_real_time_data_ingestion_spark.operators.clusters import (
+        doc_dup_clusters,
+        dup_clusters_oracle_sql,
+    )
+
+    docs = _docs(spark)
+    got = doc_dup_clusters(docs)
+    _pd_equal(got, duck_sql(dup_clusters_oracle_sql(0.5)), ["doc_id"])
+    # at least one nontrivial cluster exists (planted dups)
+    assert got.filter("cluster_size > 1").count() > 0
+    # cluster_id is always the min member (canonical label)
+    bad = (
+        got.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("mn"))
+        .filter("cluster_id != mn")
+        .count()
+    )
+    assert bad == 0
