@@ -105,11 +105,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gold_user_response_pairs"] = lambda s, d: joins_op.user_response_pairs(
         _silver(s, d)
     )
-    # two bit-identical formulations (tests/test_rolling_vectorized.py):
-    # Catalyst windows win on many small conversations (sf0.1: 18.6s vs
-    # 49s — per-group pandas overhead dominates); the Arrow/applyInPandas
-    # twin is the shape that wins on long conversations and is the batch
-    # twin of the streaming stateful operator
+    # two bit-identical formulations (tests/test_rolling_vectorized.py).
+    # Round 1's applyInPandas twin lost to Catalyst windows (43.6s vs
+    # 17.6s at sf0.1 — per-group Arrow round-trip overhead on 20k small
+    # groups); round 2's secondary-sort mapInPandas rewrite (numpy
+    # segmentation, hundreds of conversations per Arrow batch) now WINS
+    # (~4s at sf0.1) and is the batch twin of the streaming stateful
+    # operator. Both stay graded against the same oracle.
     q["gold_conv_features"] = lambda s, d: gold_features.conv_features(
         _silver(s, d)
     )

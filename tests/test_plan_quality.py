@@ -158,3 +158,41 @@ def test_salted_agg_two_phase_plan(spark, transcripts_parquet):
     assert "__salt" in plan, "salt column must reach the physical plan"
     # dedup exchange + salted-partial exchange + final merge exchange
     assert plan.count("Exchange hashpartitioning") == 3, plan.count("Exchange")
+
+
+def test_doc_chunks_no_shuffle(spark):
+    """Chunk fan-out is pure map-side Catalyst (posexplode+slice): no
+    Exchange, no Python runner in the plan."""
+    from crypto_near_real_time_data_ingestion_spark.plans import documents_gold as dg
+
+    plan = _plan(dg.doc_chunks(dg.read_documents(spark, SF_DIR)))
+    assert "Exchange" not in plan, plan[:500]
+    assert "Generate posexplode" in plan or "posexplode" in plan
+    assert "Python" not in plan, "chunking must stay JVM-side"
+
+
+def test_events_json_entities_no_shuffle(spark):
+    """JSON build/parse/explode_outer/map_entries is one codegen'd
+    map-side pass over the scan."""
+    from crypto_near_real_time_data_ingestion_spark.plans import events_gold as eg
+
+    plan = _plan(eg.events_json_entities(eg.read_events(spark, SF_DIR)))
+    assert "Exchange" not in plan, plan[:500]
+    assert "Python" not in plan
+
+
+def test_block_gemm_plan_shape(spark):
+    """The exact ANN scorer must be a broadcast tile join (no sort-merge,
+    no cartesian shuffle) and contain NO driver collect: the plan builds
+    the corpus blocks with a hash aggregate, broadcasts them, and runs
+    one Arrow stage over the tiles."""
+    from crypto_near_real_time_data_ingestion_spark.operators.ann import (
+        broadcast_cosine_topk,
+    )
+    from crypto_near_real_time_data_ingestion_spark.plans import documents_gold as dg
+
+    emb = dg.read_embeddings(spark, SF_DIR)
+    plan = _plan(broadcast_cosine_topk(emb, k=5, block_size=128))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
