@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_pairs"] = lambda s, d: _run_streaming(s, d, "pairs")
     q["streaming_unanswered"] = lambda s, d: _run_streaming(s, d, "unanswered")
     q["streaming_conv_features"] = lambda s, d: _run_streaming(s, d, "features")
+    # CEP R{k,} in streaming form (stateful run detector) — same oracle
+    # as the batch gap-and-island plan
+    q["streaming_role_runs"] = lambda s, d: _run_streaming(s, d, "role_runs")
 
     # --- reference gold programs on the driver-provided events table
     # (W1/W2 keep-latest, A1 QA agg, W5-W10+A2+J1/J2 ML features) -----------
@@ -251,14 +254,17 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # all streaming entries share ONE drain of the arrival-ordered stream:
-# a single rate-controlled source feed with seven independently-
+# a single rate-controlled source feed with eight independently-
 # checkpointed queries running concurrently — the reference's
-# sequential-DAG analog as one continuous pipeline (and 7× cheaper than
+# sequential-DAG analog as one continuous pipeline (and 8× cheaper than
 # per-query drains in the driver's verify/bench loop). Results are
 # deterministic, so caching the drained handles per (session, sf) is
 # sound; the key is the session's applicationId (stable, never reused,
 # unlike id(spark) which CPython can recycle after GC).
-_STREAM_QUERIES = ("silver", "gold_hour", "gold_sliding", "sessions", "pairs", "features", "unanswered")
+_STREAM_QUERIES = (
+    "silver", "gold_hour", "gold_sliding", "sessions", "pairs",
+    "features", "unanswered", "role_runs",
+)
 _stream_cache: dict[tuple, object] = {}
 
 
@@ -377,6 +383,11 @@ def oracle_sql() -> dict[str, str]:
         # NOT EXISTS oracle once drained
         "streaming_unanswered": patterns.UNANSWERED_ORACLE_SQL_TEMPLATE.format(
             path=path
+        ),
+        # the streaming run detector answers the batch gap-and-island
+        # oracle once drained (runs close on role change or eviction)
+        "streaming_role_runs": patterns.ROLE_RUNS_ORACLE_SQL_TEMPLATE.format(
+            path=path, role="user", min_run=2
         ),
         # stateful operator emits the causal feature columns (session_end is
         # future-looking — batch-only)

@@ -15,6 +15,8 @@ Queries:
   pairs       silver-stream ⋈ silver-stream (user ↔ response) → MERGE
   unanswered  negation pattern: watermarked left-outer + null filter
               (stream-stream anti), timeout-emitted → MERGE
+  role_runs   CEP R{k,} pattern: stateful run detector, runs emitted on
+              definitive closure (role change / eviction flush) → MERGE
   features    silver-stream → per-conv stateful rolling features → MERGE
   features_tws  same semantics on the Spark 4 transformWithState API
                 (typed state variables + event-time timers, RocksDB)
@@ -155,6 +157,19 @@ def start_pipeline(
         h.queries["features"] = _start(
             conv_features_stream(cleansed),
             sink, "features", ckpt("features"), "append", available_now, trigger_interval,
+        )
+
+    if "role_runs" in queries:
+        from ..functions.cleansing import cleanse_turns
+        from .stateful_runs import role_runs_stream
+
+        cleansed = cleanse_turns(src()).withWatermark("ts", watermark)
+        sink = ParquetMergeSink(table("role_runs"), ["conv_id", "run_start_turn"], None)
+        h.sinks["role_runs"] = sink
+        h.queries["role_runs"] = _start(
+            role_runs_stream(cleansed, role="user", min_run=2),
+            sink, "role_runs", ckpt("role_runs"), "append", available_now,
+            trigger_interval,
         )
 
     if "unanswered" in queries:

@@ -40,7 +40,7 @@ def drained(spark, transcripts_parquet, stream_parquet_dir):
         spark,
         fsrc,
         WORK,
-        queries=("silver", "gold_hour", "sessions", "pairs"),
+        queries=("silver", "gold_hour", "sessions", "pairs", "role_runs"),
         max_files_per_trigger=2,
     )
     return h
@@ -131,3 +131,19 @@ def test_resume_from_checkpoint(spark, transcripts_parquet, stream_parquet_dir):
     got = _no_flush(h2.sinks["silver"].read(spark))
     want = silver_batch(read_transcripts(spark, transcripts_parquet)).toPandas()
     assert_df_equal(got, want, sort_cols=["conv_id", "turn_idx"])
+
+
+def test_stream_role_runs_equal_batch(spark, transcripts_parquet, drained):
+    """Streaming CEP run detector == batch gap-and-island plan: runs
+    emitted exactly once, on definitive closure (role change within the
+    watermark order, or eviction flush at end of conversation)."""
+    from crypto_near_real_time_data_ingestion_spark.plans.patterns import role_runs
+
+    got = _no_flush(drained.sinks["role_runs"].read(spark))
+    want = role_runs(
+        silver_batch(read_transcripts(spark, transcripts_parquet)), "user", 2
+    )
+    assert want.count() > 0
+    assert_df_equal(
+        got, want.toPandas(), sort_cols=["conv_id", "run_start_turn"]
+    )
