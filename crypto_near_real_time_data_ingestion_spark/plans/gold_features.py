@@ -141,3 +141,36 @@ WINDOW
               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
     w_sess AS (PARTITION BY conv_id, session_id)
 """
+
+
+def conv_features_sketch(
+    silver: DataFrame, gap_s: int = 1800, accuracy: int = 10000
+) -> DataFrame:
+    """The UNBOUNDED-KEYS variant of ``conv_features``: exact expanding
+    percentiles swap for Spark's built-in mergeable GK sketch
+    (``percentile_approx``) with rank error ≤ 1/accuracy. This is the
+    documented state-size escape hatch — per-key memory becomes
+    O(accuracy·log n) instead of O(turns) — for domains where
+    "conversations" are unbounded (device telemetry, market ticks). The
+    sketch buffer is Spark-internal (JVM, mergeable ⇒ map-side partial
+    windows still work); everything else stays identical to the exact
+    plan. Approximate ⇒ pytest-error-bound-tested, not oracle-graded
+    (tests/test_gold_plans.py pins the rank-error contract)."""
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    df = silver.withColumn("gap_us", gap_us.cast("double"))
+    pct = lambda p: (  # noqa: E731
+        F.expr(f"percentile_approx(gap_us, {p}, {accuracy})").over(w_run)
+        / F.lit(1e6)
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.col("ts").alias("as_of_ts"),
+        F.count(F.lit(1)).over(w_run).alias("turn_count"),
+        pct(0.5).alias("inter_turn_latency_p50"),
+        pct(0.95).alias("inter_turn_latency_p95"),
+        pct(0.99).alias("inter_turn_latency_p99"),
+    )

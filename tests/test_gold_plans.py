@@ -86,3 +86,69 @@ def test_events_ml_features(spark):
     got = eg.events_ml_features(eg.read_events(spark, SF_DIR))
     want = duck_sql(eg.EVENTS_ML_ORACLE_SQL)
     assert_df_equal(got, want, sort_cols=["user_id", "dt"])
+
+
+def test_conv_features_sketch_error_bound(spark, transcripts_parquet):
+    """percentile_approx twin: every approximate percentile is an ACTUAL
+    observed gap whose rank is within the GK bound of the target rank —
+    the contract that justifies the O(accuracy) state swap at scale."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from crypto_near_real_time_data_ingestion_spark.plans.gold_features import (
+        conv_features,
+        conv_features_sketch,
+    )
+    from crypto_near_real_time_data_ingestion_spark.plans.silver import silver_batch
+    from crypto_near_real_time_data_ingestion_spark.sources import read_transcripts
+
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    exact = conv_features(silver).select(
+        "conv_id", "turn_idx", "inter_turn_latency_p95"
+    )
+    approx = conv_features_sketch(silver, accuracy=10000).select(
+        "conv_id", "turn_idx",
+        F.col("inter_turn_latency_p95").alias("p95_sketch"),
+    )
+    j = exact.join(approx, ["conv_id", "turn_idx"]).toPandas()
+    assert len(j) == exact.count()
+    assert (
+        j["inter_turn_latency_p95"].isna() == j["p95_sketch"].isna()
+    ).all()
+
+    # The GK contract is a RANK bound (not a value bound — gaps are
+    # heavy-tailed, neighbors can differ by minutes): the sketch value
+    # must be an observed prefix gap whose rank is within eps*n of the
+    # target. At accuracy=10000 and prefixes of <=hundreds of gaps that
+    # means within ±1 order statistic of the exact position.
+    sil = (
+        silver.select("conv_id", "turn_idx", "ts")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    )
+    sil["gap"] = (
+        sil["ts"].astype("datetime64[us]").astype("int64").diff() / 1e6
+    )
+    first = sil.groupby("conv_id").cumcount() == 0
+    sil.loc[first, "gap"] = np.nan
+    bad = 0
+    for conv, grp in sil.groupby("conv_id", sort=False):
+        gaps = grp["gap"].to_numpy()
+        tis = grp["turn_idx"].to_numpy()
+        sk = j[j["conv_id"] == conv].set_index("turn_idx")["p95_sketch"]
+        prefix = []
+        for i in range(len(gaps)):
+            if not np.isnan(gaps[i]):
+                prefix.append(gaps[i])
+            if not prefix:
+                continue
+            v = sk.get(tis[i])
+            s = np.sort(prefix)
+            pos = 0.95 * (len(s) - 1)
+            lo, hi = max(int(np.floor(pos)) - 1, 0), min(
+                int(np.ceil(pos)) + 1, len(s) - 1
+            )
+            if not (s[lo] - 1e-9 <= v <= s[hi] + 1e-9):
+                bad += 1
+    assert bad == 0, f"{bad} rows outside the rank band"

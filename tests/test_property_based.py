@@ -102,3 +102,93 @@ def test_sessionize_property(spark, rows):
         model,
         check_dtype=False,
     )
+
+
+# --- hash / winnowing cores vs pure-Python references (no Spark session:
+# these pin the numpy-vectorized batch kernels that the DuckDB oracles
+# re-derive, so a kernel regression fails here before it fails the
+# driver's value hash on some new corpus) -----------------------------------
+
+def _poly_splitmix_ref(s: str) -> int:
+    """Straight-line reference: Horner fold then splitmix64, pure ints."""
+    M = 1 << 64
+    h = 0
+    for b in s.encode():
+        h = (h * 1099511628211 + b) % M
+    x = (h + 0x9E3779B97F4A7C15) % M
+    z = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) % M
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % M
+    return z ^ (z >> 31)
+
+
+ascii_word = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789 "),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(ascii_word, min_size=1, max_size=50))
+def test_vectorized_hash_matches_reference(strings):
+    import numpy as np
+
+    from crypto_near_real_time_data_ingestion_spark.operators.text_dedup import (
+        _hash_flat_strings,
+    )
+
+    got = _hash_flat_strings(strings)
+    want = np.array([_poly_splitmix_ref(s) for s in strings], dtype=np.uint64)
+    assert (got == want).all()
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(ascii_word, min_size=0, max_size=20), min_size=1, max_size=10
+    )
+)
+def test_minhash_batch_matches_per_doc(doc_shingle_lists):
+    """Batched reduceat signatures == per-document computation (including
+    empty-document sentinel rows interleaved anywhere in the batch)."""
+    import numpy as np
+    import pandas as pd
+
+    from crypto_near_real_time_data_ingestion_spark.operators import text_dedup as td
+
+    hashes, starts, lens = td._batch_segments(pd.Series(doc_shingle_lists))
+    got = td._minhash_sigs_batch(hashes, starts, lens)
+    for i, shingles in enumerate(doc_shingle_lists):
+        h = td._hash_flat_strings(list(shingles))
+        if len(h) == 0:
+            want = np.full(td.N_PERMS, np.iinfo(np.int64).max, dtype=np.int64)
+        else:
+            hm = h % td._MERSENNE
+            with np.errstate(over="ignore"):
+                vals = (td._A[:, None] * hm[None, :] + td._B[:, None]) % td._MERSENNE
+            want = vals.min(axis=1).astype(np.int64)
+        assert (got[i] == want).all(), f"doc {i}"
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=-100, max_value=100), min_size=0, max_size=40),
+       st.integers(min_value=2, max_value=6))
+def test_winnow_selection_matches_naive(hash_seq, window):
+    """sliding_window_view min-selection == the naive O(n·w) definition."""
+    import numpy as np
+
+    h = np.array(hash_seq, dtype=np.int64)
+    if len(h) == 0:
+        return
+    if len(h) <= window:
+        got = {int(h.min())}
+    else:
+        view = np.lib.stride_tricks.sliding_window_view(h, window)
+        got = set(int(x) for x in view.min(axis=1))
+    naive = set()
+    if len(h) <= window:
+        naive = {int(min(h))}
+    else:
+        for i in range(len(h) - window + 1):
+            naive.add(int(min(h[i : i + window])))
+    assert got == naive
