@@ -30,6 +30,7 @@ from crypto_near_real_time_data_ingestion_spark.datagen import (  # noqa: E402
     sf_from_dir,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import ann as ann_op  # noqa: E402
+from crypto_near_real_time_data_ingestion_spark.operators import asof as asof_op  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     clusters as clusters_op,
 )
@@ -163,6 +164,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # P4-P6 literal: array/map JSON payload → explode_outer + map_entries
     # + struct flatten (+ malformed→null repair)
     q["events_json_entities"] = lambda s, d: eg.events_json_entities(
+        eg.read_events(s, d)
+    )
+    # as-of join (union-merge, no range-join blowup) vs DuckDB's native
+    # ASOF JOIN as the oracle
+    q["events_asof_ohlc"] = lambda s, d: asof_op.events_asof_ohlc(
         eg.read_events(s, d)
     )
 
@@ -337,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ml_features": eg.EVENTS_ML_ORACLE_SQL,
         "events_props_parse": eg.EVENTS_PROPS_ORACLE_SQL,
         "events_json_entities": eg.EVENTS_JSON_ENTITIES_ORACLE_SQL,
+        "events_asof_ohlc": asof_op.EVENTS_ASOF_OHLC_ORACLE_SQL,
         "sql_view_gold_hour": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, grain="hour"
         ),

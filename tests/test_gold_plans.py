@@ -152,3 +152,52 @@ def test_conv_features_sketch_error_bound(spark, transcripts_parquet):
             if not (s[lo] - 1e-9 <= v <= s[hi] + 1e-9):
                 bad += 1
     assert bad == 0, f"{bad} rows outside the rank band"
+
+
+def test_asof_join_matches_duckdb_asof(spark):
+    """Union-merge as-of join == DuckDB's native ASOF LEFT JOIN, and the
+    physical plan is ONE hash shuffle on the key (no range join)."""
+    from conftest import SF_DIR as TESTDATA_DIR
+
+    from crypto_near_real_time_data_ingestion_spark.operators.asof import (
+        EVENTS_ASOF_OHLC_ORACLE_SQL,
+        events_asof_ohlc,
+    )
+
+    got = events_asof_ohlc(eg.read_events(spark, TESTDATA_DIR))
+    want = duck_sql(EVENTS_ASOF_OHLC_ORACLE_SQL)
+    assert_df_equal(got, want, sort_cols=["event_id"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final and "BroadcastNestedLoopJoin" not in final
+    assert "SortMergeJoin" not in final, "as-of must not be a join at all"
+    # daily-agg exchange + one user_id exchange per union branch (the one
+    # logical merge shuffle, applied to each input) — never a range join
+    assert final.count("Exchange hashpartitioning") <= 3, final[:600]
+
+
+def test_asof_join_edge_semantics(spark):
+    """Equal timestamps attach (<= not <); keys with no prior right row
+    get nulls; latest-of-several wins."""
+    import datetime as dt
+
+    from crypto_near_real_time_data_ingestion_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("a", t(5), 1), ("a", t(10), 2), ("b", t(3), 3)],
+        "k string, ts timestamp, row_id int",
+    )
+    right = spark.createDataFrame(
+        [("a", t(5), 100.0), ("a", t(7), 200.0), ("c", t(0), 9.0)],
+        "k string, rt timestamp, v double",
+    )
+    got = {
+        r["row_id"]: (r["asof_rt"], r["asof_v"])
+        for r in asof_join(
+            left, right, ["k"], "ts", "rt", ["v"]
+        ).collect()
+    }
+    assert got[1] == (t(5), 100.0)   # equal ts attaches
+    assert got[2] == (t(7), 200.0)   # latest of several
+    assert got[3] == (None, None)    # no right row for key b
