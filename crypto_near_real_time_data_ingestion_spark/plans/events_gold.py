@@ -526,3 +526,19 @@ FROM feat f LEFT JOIN market m USING (dt) LEFT JOIN bench b USING (dt)
 
 
 EVENTS_ML_ORACLE_SQL = _ml_oracle_sql()
+
+
+def events_daily_users_sketch(events: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """Distinct-user rollup with the mergeable HLL++ sketch
+    (``approx_count_distinct``) beside the exact count — the sketch
+    family's second member (GK percentiles: ``gold_features.
+    conv_features_sketch``). At 10^12 rows the exact distinct needs a
+    full shuffle of the key universe; HLL's fixed ~kilobyte registers
+    merge map-side, so the rollup is one partial-agg shuffle of
+    sketches. Approximate ⇒ pytest-error-bound-tested (not
+    oracle-graded)."""
+    return events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

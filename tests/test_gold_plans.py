@@ -201,3 +201,18 @@ def test_asof_join_edge_semantics(spark):
     assert got[1] == (t(5), 100.0)   # equal ts attaches
     assert got[2] == (t(7), 200.0)   # latest of several
     assert got[3] == (None, None)    # no right row for key b
+
+
+def test_daily_users_sketch_error_bound(spark):
+    """HLL++ twin: approximate distinct within 5*rsd of exact on every
+    day (rsd=0.01 ⇒ registers large vs this cardinality — near-exact)."""
+    from conftest import SF_DIR as TESTDATA_DIR
+
+    from crypto_near_real_time_data_ingestion_spark.plans.events_gold import (
+        events_daily_users_sketch,
+    )
+
+    pdf = events_daily_users_sketch(eg.read_events(spark, TESTDATA_DIR)).toPandas()
+    assert len(pdf) > 0
+    rel = (pdf["approx_users"] - pdf["exact_users"]).abs() / pdf["exact_users"]
+    assert (rel <= 0.05).all(), rel.max()
