@@ -57,6 +57,14 @@ from crypto_near_real_time_data_ingestion_spark.plans import gold_windows  # noq
 from crypto_near_real_time_data_ingestion_spark.plans import patterns  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import silver as silver_plan  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.sources import read_transcripts  # noqa: E402
+from crypto_near_real_time_data_ingestion_spark.streaming import (  # noqa: E402
+    stateful_tws as tws_mod,
+)
+
+# evaluated at IMPORT time, before the driver builds its SparkSession:
+# tws_available() exports the protobuf-shim PYTHONPATH that the TWS
+# python workers need (the JVM snapshots the env at launch)
+_TWS_AVAILABLE = tws_mod.tws_available()
 
 # The driver's correctness gate runs at sf=0.01; materialize that scale's
 # transcripts (and the smoke scale) eagerly so oracle SQL paths exist.
@@ -147,6 +155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CEP R{k,} in streaming form (stateful run detector) — same oracle
     # as the batch gap-and-island plan
     q["streaming_role_runs"] = lambda s, d: _run_streaming(s, d, "role_runs")
+    # second stateful backend (Spark 4 transformWithStateInPandas) run
+    # end-to-end — gated on the protobuf runtime (present here via the
+    # documented SDK shim); its own drain so an environment failure
+    # cannot touch the other streaming entries
+    if _TWS_AVAILABLE:
+        q["streaming_conv_features_tws"] = _run_streaming_tws
 
     # --- reference gold programs on the driver-provided events table
     # (W1/W2 keep-latest, A1 QA agg, W5-W10+A2+J1/J2 ML features) -----------
@@ -281,6 +295,40 @@ def _sql_view_ohlc_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT * FROM gold_ohlc_week")
 
 
+def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the transformWithState backend in ITS OWN pipeline (separate
+    work dir/checkpoints from the shared 8-query drain) and return the
+    causal feature columns — same oracle as streaming_conv_features."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crypto_near_real_time_data_ingestion_spark.datagen.flush import (
+        FLUSH_CONV_ID,
+        build_flushed_source,
+    )
+    from crypto_near_real_time_data_ingestion_spark.datagen.transcripts import stream_dir
+    from crypto_near_real_time_data_ingestion_spark.streaming.engine import (
+        run_pipeline_to_completion,
+    )
+
+    sf = sf_from_dir(sf_dir)
+    key = (spark.sparkContext.applicationId, sf, "tws")
+    h = _stream_cache.get(key)
+    if h is None:
+        ensure_transcripts(sf)
+        work = f"/tmp/spark_graft_entry_stream_tws_{sf}"
+        shutil.rmtree(work, ignore_errors=True)
+        fsrc = build_flushed_source(stream_dir(sf), os.path.join(work, "source"))
+        h = run_pipeline_to_completion(
+            spark, fsrc, work, queries=("features_tws",), max_files_per_trigger=4
+        )
+        _stream_cache[key] = h
+    return h.sinks["features_tws"].read(spark).filter(
+        F.col("conv_id") != FLUSH_CONV_ID
+    )
+
+
 def _run_streaming(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
     """Execute the real streaming pipeline (file-stream source, watermarked
     stateful plans, exactly-once MERGE sinks) over the arrival-ordered
@@ -407,6 +455,22 @@ def oracle_sql() -> dict[str, str]:
                     path=path, gap_s=1800
                 )
             )
+        ),
+        **(
+            {
+                "streaming_conv_features_tws": (
+                    "SELECT conv_id, turn_idx, as_of_ts, turn_count, max_turn_idx, "
+                    "tool_call_rate, inter_turn_latency_p50, inter_turn_latency_p95, "
+                    "inter_turn_latency_p99, rolling_turns_10m, session_id, session_start "
+                    "FROM ({inner}) t".format(
+                        inner=gold_features.CONV_FEATURES_ORACLE_SQL_TEMPLATE.format(
+                            path=path, gap_s=1800
+                        )
+                    )
+                )
+            }
+            if _TWS_AVAILABLE
+            else {}
         ),
         "doc_exact_dedup": dg.DOC_EXACT_DEDUP_ORACLE_SQL,
         "doc_chunks": dg.DOC_CHUNKS_ORACLE_SQL_TEMPLATE.format(

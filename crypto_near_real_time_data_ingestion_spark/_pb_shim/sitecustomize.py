@@ -1,0 +1,45 @@
+"""Worker-side protobuf shim (auto-imported by `site` when this directory
+is on PYTHONPATH — see streaming/stateful_tws.py::tws_available).
+
+This container ships no `protobuf` wheel, but the google-cloud-sdk bundle
+carries a pure-python protobuf 6.32 runtime. pyspark's transformWithState
+gencode is built against 6.33 and its strict version gate refuses an
+older runtime; the 6.32↔6.33 skew is wire-compatible for this proto (the
+TWS equivalence e2e verifies bit-equal output), so the gate is no-op'd.
+
+Detection subtlety: Spark workers have spark-core.jar on sys.path, whose
+shaded ``google/protobuf/*.class`` directories import as an EMPTY
+namespace package — so ``import google.protobuf`` succeeds uselessly.
+Probe for real content (``descriptor``) instead, and purge the cached
+namespace modules before re-importing from the SDK path (a regular
+package beats namespace portions regardless of path order).
+
+Scoped: only activates when real protobuf content is missing and the SDK
+bundle exists; real installs are untouched.
+"""
+
+import os
+import sys
+
+_SDK = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def _has_real_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if not _has_real_protobuf() and os.path.isdir(_SDK):
+    sys.path.append(_SDK)  # append: never shadow real site-packages
+    for _m in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+        del sys.modules[_m]
+    try:
+        from google.protobuf import runtime_version as _rv
+
+        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+    except Exception:
+        pass

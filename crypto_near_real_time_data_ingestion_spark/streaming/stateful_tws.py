@@ -43,13 +43,55 @@ from pyspark.sql.streaming.stateful_processor import (
 from .stateful import _EMPTY, _rows_to_pdf, _step, GAP_S_DEFAULT, OUTPUT_SCHEMA
 
 
+_PB_SDK_PATH = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
 def tws_available() -> bool:
-    """True when the transformWithState protobuf protocol can load."""
+    """True when the transformWithState protobuf protocol can load.
+
+    Fallback: when no ``protobuf`` wheel is installed but the
+    google-cloud-sdk bundle ships its pure-python runtime (6.32), use it
+    — appending to ``sys.path`` driver-side and exporting a
+    ``sitecustomize`` shim dir on PYTHONPATH so Python WORKERS patch
+    themselves at interpreter startup (the TWS state server runs in the
+    worker). The 6.32-runtime/6.33-gencode skew is wire-compatible for
+    this proto; protobuf's strict version gate is no-op'd and the TWS
+    e2e equivalence test is the actual compatibility proof. Must run
+    BEFORE the SparkSession launches (the JVM snapshots the env)."""
+    import os
+    import sys
+
+    def _has_real_protobuf() -> bool:
+        # Spark workers carry spark-core.jar on sys.path; its shaded
+        # google/protobuf class dirs import as an EMPTY namespace package,
+        # so probe for actual content, not import success
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    if not _has_real_protobuf():
+        if not os.path.isdir(_PB_SDK_PATH):
+            return False
+        sys.path.append(_PB_SDK_PATH)
+        for m in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+            del sys.modules[m]
+        try:
+            from google.protobuf import runtime_version as _rv
+        except ImportError:
+            return False
+        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+        shim_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_pb_shim")
+        if shim_dir not in os.environ.get("PYTHONPATH", ""):
+            parts = [shim_dir, os.environ.get("PYTHONPATH", "")]
+            os.environ["PYTHONPATH"] = ":".join(p for p in parts if p)
     try:
-        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
 
         return True
-    except ImportError:
+    except Exception:
         return False
 
 # buffer rows: one per not-yet-emitted turn
@@ -103,10 +145,14 @@ class ConvFeaturesProcessor(StatefulProcessor):
             buf_ti, buf_ts, buf_tool, emitted, gaps, recent,
             e_count, e_tool, max_ti, last_ts, sess_id, sess_start,
         ) = st
-        self.buf.put(list(zip(buf_ti, buf_ts, buf_tool)))
-        self.gaps.put([(g,) for g in gaps])
-        self.recent.put([(r,) for r in recent])
-        self.emitted.put([(t,) for t in emitted])
+        # TWS list state rejects empty puts — clear() is the empty write
+        def put_list(state, rows: list) -> None:
+            state.put(rows) if rows else state.clear()
+
+        put_list(self.buf, list(zip(buf_ti, buf_ts, buf_tool)))
+        put_list(self.gaps, [(g,) for g in gaps])
+        put_list(self.recent, [(r,) for r in recent])
+        put_list(self.emitted, [(t,) for t in emitted])
         self.agg.update((e_count, e_tool, max_ti, last_ts, sess_id, sess_start))
         for t in self.handle.listTimers():
             self.handle.deleteTimer(t)
