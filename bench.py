@@ -210,6 +210,11 @@ def main() -> None:
     # latency-focused run: small micro-batches at full parallelism
     res_lat = _run_worker(CPUS, mfpt=4, reps=1)
 
+    # import the entry BEFORE building the session: its import-time
+    # tws_available() exports the protobuf-shim PYTHONPATH the TWS
+    # streaming query's python workers need (the JVM snapshots the env)
+    import __spark_entry__  # noqa: F401
+
     spark = get_spark("bench-batch", cores=CPUS)
     timings = _batch_queries(spark)
     total = round(time.time() - t0, 3)

@@ -185,7 +185,14 @@ def start_pipeline(
 
     if "features_tws" in queries:
         from ..functions.cleansing import cleanse_turns
-        from .stateful_tws import conv_features_stream_tws
+        from .stateful_tws import conv_features_stream_tws, tws_available
+
+        if not tws_available():
+            raise RuntimeError(
+                "transformWithState needs the google.protobuf runtime "
+                "(no wheel installed and no SDK-bundle fallback found); "
+                "use the 'features' query (applyInPandasWithState) instead"
+            )
 
         # transformWithState requires the RocksDB state store; session-wide
         # runtime conf, picked up by queries at start time
