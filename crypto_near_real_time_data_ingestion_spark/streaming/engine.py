@@ -193,6 +193,17 @@ def start_pipeline(
                 "(no wheel installed and no SDK-bundle fallback found); "
                 "use the 'features' query (applyInPandasWithState) instead"
             )
+        # the TWS python workers read PYTHONPATH from the function env
+        # (sc.environment), which ALSO works when the SparkSession was
+        # built before tws_available() exported the shim path — merge it
+        # in so import order never matters
+        want = os.environ.get("PYTHONPATH", "")
+        if want:
+            env = spark.sparkContext.environment
+            cur = env.get("PYTHONPATH", "")
+            parts = [p for p in cur.split(":") if p]
+            parts += [p for p in want.split(":") if p and p not in parts]
+            env["PYTHONPATH"] = ":".join(parts)
 
         # transformWithState requires the RocksDB state store; session-wide
         # runtime conf, picked up by queries at start time
