@@ -321,7 +321,8 @@ def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
         fsrc = build_flushed_source(stream_dir(sf), os.path.join(work, "source"))
         h = run_pipeline_to_completion(
-            spark, fsrc, work, queries=("features_tws",), max_files_per_trigger=4
+            spark, fsrc, work, queries=("features_tws",),
+            max_files_per_trigger=4, shuffle_partitions=8,
         )
         _stream_cache[key] = h
     return h.sinks["features_tws"].read(spark).filter(
@@ -354,8 +355,12 @@ def _run_streaming(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
         work = f"/tmp/spark_graft_entry_stream_{sf}"
         shutil.rmtree(work, ignore_errors=True)
         fsrc = build_flushed_source(stream_dir(sf), os.path.join(work, "source"))
+        # 8 shuffle partitions for the verification-scale drain: state
+        # stores commit per partition per operator per batch, which
+        # dominates at this scale (see run_pipeline_to_completion note)
         h = run_pipeline_to_completion(
-            spark, fsrc, work, queries=_STREAM_QUERIES, max_files_per_trigger=4
+            spark, fsrc, work, queries=_STREAM_QUERIES,
+            max_files_per_trigger=4, shuffle_partitions=8,
         )
         _stream_cache[key] = h
     return h.sinks[which].read(spark).filter(F.col("conv_id") != FLUSH_CONV_ID)
