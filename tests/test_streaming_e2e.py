@@ -147,3 +147,56 @@ def test_stream_role_runs_equal_batch(spark, transcripts_parquet, drained):
     assert_df_equal(
         got, want.toPandas(), sort_cols=["conv_id", "run_start_turn"]
     )
+
+
+def test_resume_stateful_from_checkpoint(spark, transcripts_parquet, stream_parquet_dir):
+    """Kill the STATEFUL queries mid-stream (keyed feature state + CEP run
+    accumulators live in the state store), restart from checkpoint →
+    output identical to the batch oracles. This is the resumability claim
+    for per-key state, not just the dedup query."""
+    from test_stateful_features import CAUSAL_COLS
+
+    from crypto_near_real_time_data_ingestion_spark.plans.gold_features import (
+        conv_features,
+    )
+    from crypto_near_real_time_data_ingestion_spark.plans.patterns import role_runs
+    from crypto_near_real_time_data_ingestion_spark.streaming.engine import (
+        start_pipeline,
+    )
+
+    work = "/tmp/spark_graft_resume_stateful"
+    shutil.rmtree(work, ignore_errors=True)
+    fsrc = build_flushed_source(stream_parquet_dir, os.path.join(work, "source"))
+
+    # phase 1: a prefix only (1 file per trigger), then stop both queries
+    h1 = start_pipeline(
+        spark, fsrc, work, queries=("features", "role_runs"),
+        max_files_per_trigger=1, trigger_interval="1 seconds",
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len(h1.sinks["features"].committed_batches()) >= 2:
+            break
+        time.sleep(0.5)
+    h1.stop_all()
+    for q in h1.queries.values():
+        q.awaitTermination(60)
+    assert len(h1.sinks["features"].committed_batches()) >= 2
+
+    # phase 2: restart BOTH from their checkpoints, drain to completion
+    h2 = run_pipeline_to_completion(
+        spark, fsrc, work, queries=("features", "role_runs"),
+        max_files_per_trigger=1,
+    )
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    got_f = _no_flush(h2.sinks["features"].read(spark)).select(*CAUSAL_COLS)
+    want_f = conv_features(silver).select(*CAUSAL_COLS)
+    assert_df_equal(got_f, want_f.toPandas(), sort_cols=["conv_id", "turn_idx"])
+
+    got_r = _no_flush(h2.sinks["role_runs"].read(spark))
+    want_r = role_runs(silver, "user", 2)
+    assert_df_equal(
+        got_r, want_r.toPandas(), sort_cols=["conv_id", "run_start_turn"]
+    )
