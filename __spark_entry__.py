@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # arrival-ordered stream), checked against the SAME batch oracles ------
     q["streaming_silver"] = lambda s, d: _run_streaming(s, d, "silver")
     q["streaming_gold_hour"] = lambda s, d: _run_streaming(s, d, "gold_hour")
+    q["streaming_gold_day"] = lambda s, d: _run_streaming(s, d, "gold_day")
     q["streaming_gold_sliding"] = lambda s, d: _run_streaming(s, d, "gold_sliding")
     q["streaming_sessions_30m"] = lambda s, d: _run_streaming(s, d, "sessions").select(
         "conv_id", "session_start", "session_end", "n_turns", "n_tool_calls"
@@ -274,15 +275,15 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # all streaming entries share ONE drain of the arrival-ordered stream:
-# a single rate-controlled source feed with eight independently-
+# a single rate-controlled source feed with nine independently-
 # checkpointed queries running concurrently — the reference's
-# sequential-DAG analog as one continuous pipeline (and 8× cheaper than
+# sequential-DAG analog as one continuous pipeline (and 9× cheaper than
 # per-query drains in the driver's verify/bench loop). Results are
 # deterministic, so caching the drained handles per (session, sf) is
 # sound; the key is the session's applicationId (stable, never reused,
 # unlike id(spark) which CPython can recycle after GC).
 _STREAM_QUERIES = (
-    "silver", "gold_hour", "gold_sliding", "sessions", "pairs",
+    "silver", "gold_hour", "gold_day", "gold_sliding", "sessions", "pairs",
     "features", "unanswered", "role_runs",
 )
 _stream_cache: dict[tuple, object] = {}
@@ -423,6 +424,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_silver": silver_plan.SILVER_ORACLE_SQL_TEMPLATE.format(path=path),
         "streaming_gold_hour": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, grain="hour"
+        ),
+        "streaming_gold_day": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
+            path=path, grain="day"
         ),
         "streaming_gold_sliding": gold_windows.SLIDING_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, slide_s=900, length_s=3600, n_overlap=4

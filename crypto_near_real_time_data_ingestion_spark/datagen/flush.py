@@ -25,9 +25,13 @@ from .transcripts import SCHEMA
 FLUSH_CONV_ID = "__flush__"
 
 
-def build_flushed_source(src_stream_dir: str, dest_dir: str, flush_hours: int = 6) -> str:
+def build_flushed_source(src_stream_dir: str, dest_dir: str, flush_hours: int = 26) -> str:
     """Copy stream part-files to ``dest_dir`` with ordered mtimes and append
-    a sentinel flush file. Returns ``dest_dir``. Idempotent."""
+    a sentinel flush file. Returns ``dest_dir``. Idempotent.
+
+    ``flush_hours`` must clear the LONGEST streamed window grain plus the
+    watermark: 26 h covers a day window whose end lies up to 24 h past
+    the last event (hour/sliding/session need far less)."""
     if os.path.isdir(dest_dir) and glob.glob(os.path.join(dest_dir, "zz-flush.parquet")):
         return dest_dir
     os.makedirs(dest_dir, exist_ok=True)
