@@ -218,9 +218,11 @@ def conv_features_vectorized(silver: DataFrame, gap_s: int = GAP_S_DEFAULT) -> D
             got = emit(pdf, flush=False)
             if got is not None and len(got):
                 yield got
-        got = emit(pd.DataFrame(columns=["conv_id", "turn_idx", "tool", "ts"]), flush=True)
-        if got is not None and len(got):
-            yield got
+        last, pending = pending, None
+        if last is not None and len(last):
+            got = emit(last, flush=True)
+            if got is not None and len(got):
+                yield got
 
     return (
         silver.select("conv_id", "turn_idx", "tool", "ts")
