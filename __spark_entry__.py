@@ -202,6 +202,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # closure (iterative min-label components over the LSH pair graph,
     # oracle = DuckDB recursive transitive closure)
     q["doc_chunks"] = lambda s, d: dg.doc_chunks(dg.read_documents(s, d))
+    # dataset assembly: hash-keyed split / stratified hash sampling /
+    # mixture upweighting — all shuffle-free map-side ops
+    q["doc_split_assign"] = lambda s, d: dg.doc_split_assign(dg.read_documents(s, d))
+    q["doc_stratified_sample"] = lambda s, d: dg.doc_stratified_sample(
+        dg.read_documents(s, d)
+    )
+    q["doc_mixture_weights"] = lambda s, d: dg.doc_mixture_weights(
+        dg.read_documents(s, d)
+    )
     q["doc_curation"] = lambda s, d: dg.doc_curation_kept(dg.read_documents(s, d))
     q["doc_dup_clusters"] = lambda s, d: clusters_op.doc_dup_clusters(
         dg.read_documents(s, d)
@@ -486,6 +495,9 @@ def oracle_sql() -> dict[str, str]:
             size=dg.CHUNK_SIZE, stride=dg.CHUNK_STRIDE
         ),
         "doc_curation": dg.DOC_CURATION_ORACLE_SQL,
+        "doc_split_assign": dg.DOC_SPLIT_ORACLE_SQL,
+        "doc_stratified_sample": dg.DOC_STRATIFIED_SAMPLE_ORACLE_SQL,
+        "doc_mixture_weights": dg.DOC_MIXTURE_ORACLE_SQL,
         "doc_dup_clusters": clusters_op.dup_clusters_oracle_sql(threshold=0.5),
         "doc_text_stats": dg.DOC_TEXT_STATS_ORACLE_SQL,
         "doc_langid": dg.DOC_LANGID_ORACLE_SQL,

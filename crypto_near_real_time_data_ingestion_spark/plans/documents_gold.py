@@ -418,3 +418,107 @@ DOC_CURATION_ORACLE_SQL = (
     "WHERE l.predicted_lang = 'en' AND s.stopword_ratio >= 0.03 "
     "AND s.letter_ratio >= 0.6 AND s.n_tokens_ws BETWEEN 20 AND 2000"
 )
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly: deterministic split / stratified sample / mixture
+# ---------------------------------------------------------------------------
+
+def _md5_byte(col):
+    """First byte (0-255) of md5(key-as-string) — the shuffle-free
+    deterministic randomness every dataset-assembly op below keys on.
+    Content-independent of load order/partitioning; identical on any
+    engine with md5."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 2), 16, 10).cast("int")
+
+
+def doc_split_assign(docs: DataFrame) -> DataFrame:
+    """Leakage-safe train/val/test split (80/10/10) keyed on a hash of
+    doc_id — the standard way to split 10^12 rows with NO shuffle, no
+    global sort, and stability under reruns/appends (a doc keeps its
+    split forever; new docs land proportionally)."""
+    b = _md5_byte(F.col("doc_id"))
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        b.alias("hash_byte"),
+        F.when(b < 204, "train").when(b < 230, "val").otherwise("test").alias("split"),
+    )
+
+
+DOC_SPLIT_ORACLE_SQL = """
+WITH h AS (
+    SELECT doc_id,
+           CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+              AS INTEGER) AS hash_byte
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, hash_byte,
+       CASE WHEN hash_byte < 204 THEN 'train'
+            WHEN hash_byte < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def doc_stratified_sample(docs: DataFrame) -> DataFrame:
+    """Per-stratum hash sampling: keep a deterministic fraction of each
+    language stratum (en 25%, unknown 50%) by thresholding the key hash
+    — sampling 10^12 rows costs one map-side comparison per row (no
+    shuffle, no RNG state, reproducible, append-stable)."""
+    lang = doc_langid(docs)
+    rate_ceiling = F.when(F.col("predicted_lang") == "en", 64).otherwise(128)
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .join(lang, "doc_id")
+        .withColumn("hash_byte", _md5_byte(F.col("doc_id")))
+        .filter(F.col("hash_byte") < rate_ceiling)
+        .select("doc_id", "predicted_lang", "hash_byte")
+    )
+
+
+DOC_STRATIFIED_SAMPLE_ORACLE_SQL = (
+    "WITH lang AS (" + DOC_LANGID_ORACLE_SQL + "), "
+    """h AS (
+    SELECT d.doc_id, l.predicted_lang,
+           CAST((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1
+              AS INTEGER) AS hash_byte
+    FROM documents d JOIN lang l ON d.doc_id = l.doc_id
+    WHERE d.text IS NOT NULL
+)
+SELECT doc_id, predicted_lang, hash_byte
+FROM h
+WHERE hash_byte < CASE WHEN predicted_lang = 'en' THEN 64 ELSE 128 END
+"""
+)
+
+
+def doc_mixture_weights(docs: DataFrame) -> DataFrame:
+    """Mixture/epoch weighting: emit each doc ``n_copies`` times per its
+    stratum's target weight (en ×1, non-en ×3 — upweight the scarce
+    stratum), as (doc_id, copy_idx) rows. Pure map-side fan-out
+    (``explode(sequence)``) — the shape a 100 TB mixture materialization
+    wants; downstream shuffling is the consumer's choice."""
+    lang = doc_langid(docs)
+    n = F.when(F.col("predicted_lang") == "en", 1).otherwise(3)
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .join(lang, "doc_id")
+        .select(
+            "doc_id",
+            "predicted_lang",
+            F.explode(F.sequence(F.lit(1), n)).alias("copy_idx"),
+        )
+    )
+
+
+DOC_MIXTURE_ORACLE_SQL = (
+    "WITH lang AS (" + DOC_LANGID_ORACLE_SQL + ") "
+    """
+SELECT d.doc_id, l.predicted_lang,
+       CAST(unnest(range(1, CASE WHEN l.predicted_lang = 'en' THEN 1 ELSE 3 END + 1)) AS INTEGER) AS copy_idx
+FROM documents d JOIN lang l ON d.doc_id = l.doc_id
+WHERE d.text IS NOT NULL
+"""
+)

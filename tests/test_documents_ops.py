@@ -315,3 +315,29 @@ def test_doc_dup_clusters(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_dataset_assembly_ops(spark):
+    """Hash split / stratified sample / mixture vs DuckDB oracles, plus
+    the invariants that make them safe at scale: split is a partition of
+    the corpus with roughly-proportional sizes; sampling is a subset
+    decided per-row; mixture fan-out matches stratum weights."""
+    docs = _docs(spark)
+    split = dg.doc_split_assign(docs)
+    _pd_equal(split, duck_sql(dg.DOC_SPLIT_ORACLE_SQL), ["doc_id"])
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 < counts["train"] / n < 0.9
+
+    sample = dg.doc_stratified_sample(docs)
+    _pd_equal(sample, duck_sql(dg.DOC_STRATIFIED_SAMPLE_ORACLE_SQL), ["doc_id"])
+    assert 0 < sample.count() < docs.filter("text IS NOT NULL").count()
+
+    mix = dg.doc_mixture_weights(docs)
+    _pd_equal(mix, duck_sql(dg.DOC_MIXTURE_ORACLE_SQL), ["doc_id", "copy_idx"])
+    per = mix.groupBy("predicted_lang").agg(
+        (F.count("*") / F.countDistinct("doc_id")).alias("copies")
+    ).collect()
+    got = {r["predicted_lang"]: r["copies"] for r in per}
+    assert got.get("en") == 1.0 and got.get("unknown", 3.0) == 3.0
