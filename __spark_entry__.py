@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_asof_ohlc"] = lambda s, d: asof_op.events_asof_ohlc(
         eg.read_events(s, d)
     )
+    # wide→long melt (unpivot/stack)
+    q["events_unpivot"] = lambda s, d: eg.events_unpivot(eg.read_events(s, d))
 
     # --- SQL API surface (S13 views analog): same gold-hour semantics
     # expressed as Spark SQL text over a registered view -------------------
@@ -209,6 +211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dg.read_documents(s, d)
     )
     q["doc_mixture_weights"] = lambda s, d: dg.doc_mixture_weights(
+        dg.read_documents(s, d)
+    )
+    # sequence packing: bucketed contiguous-fill (hash bucket → windowed
+    # cumsum within bucket — one shuffle, no global-order bottleneck)
+    q["doc_pack_sequences"] = lambda s, d: dg.doc_pack_sequences(
         dg.read_documents(s, d)
     )
     q["doc_curation"] = lambda s, d: dg.doc_curation_kept(dg.read_documents(s, d))
@@ -407,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_parse": eg.EVENTS_PROPS_ORACLE_SQL,
         "events_json_entities": eg.EVENTS_JSON_ENTITIES_ORACLE_SQL,
         "events_asof_ohlc": asof_op.EVENTS_ASOF_OHLC_ORACLE_SQL,
+        "events_unpivot": eg.EVENTS_UNPIVOT_ORACLE_SQL,
         "sql_view_gold_hour": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, grain="hour"
         ),
@@ -498,6 +506,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_assign": dg.DOC_SPLIT_ORACLE_SQL,
         "doc_stratified_sample": dg.DOC_STRATIFIED_SAMPLE_ORACLE_SQL,
         "doc_mixture_weights": dg.DOC_MIXTURE_ORACLE_SQL,
+        "doc_pack_sequences": dg.DOC_PACK_ORACLE_SQL_TEMPLATE.format(
+            size=dg.CHUNK_SIZE, stride=dg.CHUNK_STRIDE,
+            budget=dg.PACK_BUDGET, n_buckets=dg.PACK_BUCKETS,
+        ),
         "doc_dup_clusters": clusters_op.dup_clusters_oracle_sql(threshold=0.5),
         "doc_text_stats": dg.DOC_TEXT_STATS_ORACLE_SQL,
         "doc_langid": dg.DOC_LANGID_ORACLE_SQL,

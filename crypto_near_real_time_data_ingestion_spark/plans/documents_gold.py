@@ -522,3 +522,69 @@ FROM documents d JOIN lang l ON d.doc_id = l.doc_id
 WHERE d.text IS NOT NULL
 """
 )
+
+
+PACK_BUDGET = 128
+PACK_BUCKETS = 8
+
+
+def doc_pack_sequences(
+    docs: DataFrame, budget: int = PACK_BUDGET, n_buckets: int = PACK_BUCKETS
+) -> DataFrame:
+    """Sequence packing: concatenate chunk token-counts into fixed-budget
+    training sequences (contiguous-fill packing) — the step between
+    chunking and batching in every LLM data pipeline.
+
+    Scale shape: packing needs an ORDER, and a single global order is a
+    one-partition bottleneck at 10^12 chunks — so chunks are first
+    bucketed by a hash byte of doc_id (deterministic, append-stable) and
+    packed WITHIN each bucket: pack_id = (bucket, floor(running-tokens /
+    budget)) via one windowed cumsum per bucket. One shuffle on the
+    bucket key; bucket count scales with the cluster. A chunk larger
+    than the budget still gets its own pack (contiguous fill never
+    splits a chunk)."""
+    chunks = doc_chunks(docs)
+    bucket = (_md5_byte(F.col("doc_id")) % n_buckets).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        chunks.select("doc_id", "chunk_idx", "n_tokens", bucket)
+        .withColumn(
+            "pack_id",
+            F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget).cast(
+                "long"
+            ),
+        )
+        .select("bucket", "pack_id", "doc_id", "chunk_idx", "n_tokens")
+    )
+
+
+DOC_PACK_ORACLE_SQL_TEMPLATE = """
+WITH l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+s AS (
+    SELECT doc_id, toks,
+           unnest(range(1, len(toks) + 1, {stride})) AS start
+    FROM l
+),
+c AS (
+    SELECT doc_id,
+           CAST((start - 1) / {stride} AS INTEGER) AS chunk_idx,
+           CAST(least(start + {size} - 1, len(toks)) - start + 1 AS BIGINT) AS n_tokens,
+           CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+              AS INTEGER) % {n_buckets} AS bucket
+    FROM s
+)
+SELECT bucket,
+       CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {budget}) AS BIGINT) AS pack_id,
+       doc_id, chunk_idx, n_tokens
+FROM c
+"""

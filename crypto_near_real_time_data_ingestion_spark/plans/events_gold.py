@@ -542,3 +542,32 @@ def events_daily_users_sketch(events: DataFrame, rsd: float = 0.01) -> DataFrame
         F.approx_count_distinct("user_id", rsd).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def events_unpivot(events: DataFrame) -> DataFrame:
+    """Wide→long melt of per-minute QA metrics (the `unpivot`/`stack`
+    relational op): one row per (minute, metric_name, metric_value).
+    Pure Catalyst (`stack` after one grouped agg) — the long form every
+    metrics store / feature registry ingests."""
+    qa = events_minute_qa(events)
+    return qa.select(
+        "minute",
+        F.expr(
+            "stack(3, 'n_users', n_users, 'n_events', n_events, "
+            "'null_values', null_values) AS (metric, value)"
+        ),
+    )
+
+
+EVENTS_UNPIVOT_ORACLE_SQL = """
+WITH qa AS (
+    SELECT date_trunc('minute', ts) AS minute,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_values
+    FROM events GROUP BY 1
+)
+SELECT minute, metric, value
+FROM qa
+UNPIVOT (value FOR metric IN (n_users, n_events, null_values))
+"""

@@ -341,3 +341,21 @@ def test_dataset_assembly_ops(spark):
     ).collect()
     got = {r["predicted_lang"]: r["copies"] for r in per}
     assert got.get("en") == 1.0 and got.get("unknown", 3.0) == 3.0
+
+
+def test_doc_pack_sequences(spark):
+    """Bucketed contiguous-fill packing vs DuckDB oracle, plus the packing
+    invariants: chunk partition preserved; within a pack the running
+    token total stays under budget + one chunk (contiguous fill never
+    splits a chunk)."""
+    docs = _docs(spark)
+    got = dg.doc_pack_sequences(docs)
+    want = duck_sql(dg.DOC_PACK_ORACLE_SQL_TEMPLATE.format(
+        size=dg.CHUNK_SIZE, stride=dg.CHUNK_STRIDE,
+        budget=dg.PACK_BUDGET, n_buckets=dg.PACK_BUCKETS))
+    _pd_equal(got, want, ["bucket", "pack_id", "doc_id", "chunk_idx"])
+    assert got.count() == dg.doc_chunks(docs).count()
+    per_pack = got.groupBy("bucket", "pack_id").agg(F.sum("n_tokens").alias("tot"))
+    assert per_pack.filter(
+        F.col("tot") >= dg.PACK_BUDGET + dg.CHUNK_SIZE
+    ).count() == 0
