@@ -196,3 +196,17 @@ def test_block_gemm_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:800]
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dataset_assembly_plan_shapes(spark):
+    """Split is pure map-side (no Exchange, no Python); packing is exactly
+    ONE shuffle (the bucket key) + one in-bucket sort."""
+    from crypto_near_real_time_data_ingestion_spark.plans import documents_gold as dg
+
+    docs = dg.read_documents(spark, SF_DIR)
+    split_plan = _plan(dg.doc_split_assign(docs))
+    assert "Exchange" not in split_plan and "Python" not in split_plan
+
+    pack_plan = _plan(dg.doc_pack_sequences(docs)).split("== Initial Plan ==")[0]
+    assert pack_plan.count("Exchange hashpartitioning") == 1, pack_plan[:400]
+    assert "Python" not in pack_plan
