@@ -54,6 +54,7 @@ def connected_components(
         F.col(vertex_col).alias("v"), F.col(vertex_col).alias("label")
     ).localCheckpoint()
 
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.v)
@@ -79,6 +80,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        # a silent exit here would return WRONG labels for any component
+        # whose min-label eccentricity exceeds max_iter — fail loudly so
+        # non-convergence can't masquerade as a result (raise max_iter,
+        # or switch to the large-star/small-star variant, to converge)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter"
+        )
 
     return labels.select(
         F.col("v").alias(vertex_col), F.col("label").alias("cluster_id")

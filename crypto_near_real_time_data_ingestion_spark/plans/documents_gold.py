@@ -332,6 +332,11 @@ def doc_chunks(
     map-side; downstream repartition is the consumer's choice)."""
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
     d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
+    # token-less docs (empty / punctuation-only / non-ASCII text) must be
+    # dropped BEFORE sequence(): sequence(1, 0, stride) raises in Spark,
+    # while the oracle's range(1, 1, stride) is empty — filtering matches
+    # the oracle (no chunk rows for a doc with no tokens)
+    d = d.filter(F.size("toks") > 0)
     starts = F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
     return (
         d.select(

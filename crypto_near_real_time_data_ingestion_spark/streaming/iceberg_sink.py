@@ -121,14 +121,33 @@ class IcebergMergeSink:
         self._ensure_table(df)
         view = f"__iceberg_batch_{abs(hash(self.table)) % (1 << 30)}"
         # a batch may carry several versions of a key (e.g. stateful
-        # re-emissions) — MERGE requires unique source keys: keep latest
+        # re-emissions) — MERGE requires unique source keys: keep latest.
+        # The winner must be DETERMINISTIC under replay/repartitioning
+        # (monotonically_increasing_id is partition-dependent — not an
+        # emission order): order by the event-time column when the caller
+        # provides one, with the remaining payload columns as a total-order
+        # tiebreak; without an event-time column the payload columns alone
+        # still give a replay-stable (if semantically arbitrary) winner.
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        w = Window.partitionBy(*self.keys).orderBy(F.monotonically_increasing_id().desc())
-        df.withColumn("__rn", F.row_number().over(w)).filter(
-            F.col("__rn") == 1
-        ).drop("__rn").createOrReplaceTempView(view)
+        payload = [c for c in df.columns if c not in self.keys]
+        order_cols = [self.event_time_col] if (
+            self.event_time_col and self.event_time_col in df.columns
+        ) else []
+        order_cols += [c for c in payload if c not in order_cols]
+        if order_cols:
+            w = Window.partitionBy(*self.keys).orderBy(
+                *[F.col(c).desc_nulls_last() for c in order_cols]
+            )
+            deduped = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:  # key-only rows: duplicates are identical
+            deduped = df.dropDuplicates(self.keys)
+        deduped.createOrReplaceTempView(view)
         on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in self.keys)
         self.spark.sql(
             f"MERGE INTO {self.table} t USING {view} s ON {on} "

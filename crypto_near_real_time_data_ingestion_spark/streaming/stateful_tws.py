@@ -43,7 +43,15 @@ from pyspark.sql.streaming.stateful_processor import (
 from .stateful import _EMPTY, _rows_to_pdf, _step, GAP_S_DEFAULT, OUTPUT_SCHEMA
 
 
+# default google-cloud-sdk bundle location; override with
+# $SPARK_GRAFT_PB_SDK_PATH on hosts that stage the SDK elsewhere
 _PB_SDK_PATH = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def _sdk_path() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_PB_SDK_PATH", _PB_SDK_PATH)
 
 
 def tws_available() -> bool:
@@ -57,7 +65,16 @@ def tws_available() -> bool:
     worker). The 6.32-runtime/6.33-gencode skew is wire-compatible for
     this proto; protobuf's strict version gate is no-op'd and the TWS
     e2e equivalence test is the actual compatibility proof. Must run
-    BEFORE the SparkSession launches (the JVM snapshots the env)."""
+    BEFORE the SparkSession launches (the JVM snapshots the env).
+
+    Scoping (so the shim can't break other protobuf consumers in the
+    process): only NAMESPACE-package ``google.*`` module entries — the
+    empty artifacts of spark-core.jar's shaded class dirs — are purged
+    from ``sys.modules``; modules imported from a real installation (they
+    have ``__file__``) are left untouched. The version gate is no-op'd
+    only after confirming ``runtime_version`` actually resolved from the
+    SDK bundle — if it came from a real protobuf install, its gate stays
+    intact (and is the correct one to enforce)."""
     import os
     import sys
 
@@ -73,16 +90,28 @@ def tws_available() -> bool:
             return False
 
     if not _has_real_protobuf():
-        if not os.path.isdir(_PB_SDK_PATH):
+        sdk = _sdk_path()
+        if not os.path.isdir(sdk):
             return False
-        sys.path.append(_PB_SDK_PATH)
-        for m in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+        sys.path.append(sdk)
+        # purge ONLY namespace-package artifacts (no __file__): these are
+        # the shaded-jar decoys blocking the SDK import; anything with a
+        # real file came from an actual installation and stays cached
+        for m in [
+            m
+            for m in sys.modules
+            if (m == "google" or m.startswith("google."))
+            and getattr(sys.modules[m], "__file__", None) is None
+        ]:
             del sys.modules[m]
         try:
             from google.protobuf import runtime_version as _rv
         except ImportError:
             return False
-        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+        # no-op the strict version gate ONLY for the SDK-bundle runtime we
+        # just wired in — never for a real protobuf installation
+        if (getattr(_rv, "__file__", "") or "").startswith(sdk):
+            _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
         shim_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_pb_shim")
         if shim_dir not in os.environ.get("PYTHONPATH", ""):
             parts = [shim_dir, os.environ.get("PYTHONPATH", "")]
