@@ -76,38 +76,43 @@ def _features_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         if len(pdf) == 0:
             continue
-        rows = []
-        for mid, mtype, payload in zip(
-            pdf["media_id"], pdf["media_type"], pdf["payload"]
-        ):
-            b = np.frombuffer(payload, dtype=np.uint8)
-            n = len(b)
-            checksum = int(b.astype(np.uint64).sum()) & 0xFFFFFFFF
-            counts = np.bincount(b, minlength=256).astype(np.float64)
-            p = counts[counts > 0] / max(n, 1)
-            # round(·,6) half-away: numpy's pairwise sum and the oracle's
-            # sequential list_sum differ at last-ulp only — 6-decimal
-            # rounding is the cross-engine-stable contract (entropy is
-            # not decimal-boundary-massed)
-            entropy = (
-                float(_round6_half_away(np.array([-(p * np.log2(p)).sum()]))[0])
-                if n
-                else 0.0
-            )
-            # deterministic fake decode metadata (stub for PIL/ffmpeg)
-            rows.append(
-                (
-                    mid,
-                    mtype,
-                    n,
-                    checksum,
-                    320 + checksum % 1600,
-                    240 + (checksum >> 8) % 900,
-                    1 if mtype != "video" else 24 + checksum % 240,
-                    entropy,
-                )
-            )
-        yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+        n_rows = len(pdf)
+        payloads = pdf["payload"].tolist()
+        lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n_rows)
+        # whole-batch byte histogram: concatenate payloads once, bincount
+        # on (row << 8 | byte) — every per-payload feature below derives
+        # from the (n_rows × 256) histogram; no per-row Python loop
+        flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        hist = np.bincount(
+            row_of * 256 + flat, minlength=n_rows * 256
+        ).reshape(n_rows, 256)
+        byte_vals = np.arange(256, dtype=np.int64)
+        checksum = (hist * byte_vals).sum(axis=1) & 0xFFFFFFFF
+        # round(·,6) half-away: numpy's pairwise sum and the oracle's
+        # sequential list_sum differ at last-ulp only — 6-decimal
+        # rounding is the cross-engine-stable contract (entropy is
+        # not decimal-boundary-massed)
+        p = hist / np.maximum(lens, 1)[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            plogp = np.where(hist > 0, p * np.log2(p), 0.0)
+        entropy = np.where(lens > 0, _round6_half_away(-plogp.sum(axis=1)), 0.0)
+        mtype = pdf["media_type"].to_numpy()
+        # deterministic fake decode metadata (stub for PIL/ffmpeg)
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].to_numpy(),
+                "media_type": mtype,
+                "n_bytes": lens,
+                "checksum32": checksum,
+                "fake_width": (320 + checksum % 1600).astype(np.int32),
+                "fake_height": (240 + (checksum >> 8) % 900).astype(np.int32),
+                "fake_n_frames": np.where(
+                    mtype == "video", 24 + checksum % 240, 1
+                ).astype(np.int32),
+                "byte_entropy": entropy,
+            }
+        )
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:

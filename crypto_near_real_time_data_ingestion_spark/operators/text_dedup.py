@@ -330,26 +330,42 @@ def _winnow_udf(window: int):
                 continue
             hashes, seg_starts, seg_lens = _batch_segments(pdf["shingles"])
             signed = hashes.astype(np.int64)
-            ids, fps = [], []
             doc_ids = pdf["doc_id"].to_numpy()
-            for d in range(len(doc_ids)):
-                h = signed[seg_starts[d] : seg_starts[d] + seg_lens[d]]
-                if len(h) == 0:
-                    continue
-                if len(h) <= window:
-                    sel = np.array([h.min()])
-                else:
-                    view = np.lib.stride_tricks.sliding_window_view(h, window)
-                    sel = np.unique(view.min(axis=1))
-                ids.append(np.full(len(sel), doc_ids[d], dtype=np.int64))
-                fps.append(sel)
-            if ids:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(ids),
-                        "fingerprint": np.concatenate(fps),
-                    }
+            n_docs = len(doc_ids)
+            nonempty = seg_lens > 0
+            sel_doc: list[np.ndarray] = []
+            sel_fp: list[np.ndarray] = []
+            # short docs (0 < len ≤ window): the single min fingerprint —
+            # per-doc mins for the whole batch in one reduceat (contiguous
+            # segments ⇒ each span reduces exactly to its segment)
+            if nonempty.any():
+                doc_min = np.minimum.reduceat(signed, seg_starts[nonempty])
+                small = seg_lens[nonempty] <= window
+                sel_doc.append(np.flatnonzero(nonempty)[small])
+                sel_fp.append(doc_min[small])
+            # long docs: ONE sliding-window min over the flat batch hash
+            # array, keeping only windows fully inside a single segment
+            # (start and end positions map to the same doc) — no per-doc
+            # Python loop
+            if (seg_lens > window).any():
+                sw = np.lib.stride_tricks.sliding_window_view(signed, window).min(
+                    axis=1
                 )
+                pos_doc = np.repeat(np.arange(n_docs), seg_lens)
+                ok = (pos_doc[: len(sw)] == pos_doc[window - 1 :]) & (
+                    seg_lens[pos_doc[: len(sw)]] > window
+                )
+                sel_doc.append(pos_doc[: len(sw)][ok])
+                sel_fp.append(sw[ok])
+            if not sel_doc:
+                continue
+            pair = np.unique(
+                np.stack([np.concatenate(sel_doc), np.concatenate(sel_fp)], axis=1),
+                axis=0,
+            )
+            yield pd.DataFrame(
+                {"doc_id": doc_ids[pair[:, 0]], "fingerprint": pair[:, 1]}
+            )
 
     return fn
 

@@ -120,22 +120,25 @@ def _step(
     recent = list(recent)
     rhead = 0  # advancing window head — recent[] stays append-only per step
 
-    # --- ingest new rows (exact dedup vs buffered+emitted)
+    # --- ingest new rows (exact dedup vs buffered+emitted), vectorized:
+    # first batch occurrence per turn_idx (np.unique return_index), then
+    # one isin against the already-known set — no per-row Python loop
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
         ti = pdf["turn_idx"].to_numpy()
         ts = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         tool = pdf["tool"].notna().to_numpy()
-        buffered = set(buf_ti)
-        for i in range(len(ti)):
-            t = int(ti[i])
-            if t in emitted_set or t in buffered:
-                continue
-            buffered.add(t)
-            buf_ti.append(t)
-            buf_ts.append(int(ts[i]))
-            buf_tool.append(bool(tool[i]))
+        known = np.fromiter(
+            emitted_set, dtype=np.int64, count=len(emitted_set)
+        )
+        if buf_ti:
+            known = np.concatenate([known, np.asarray(buf_ti, dtype=np.int64)])
+        uniq, first_idx = np.unique(ti, return_index=True)
+        sel = first_idx[~np.isin(uniq, known)]
+        buf_ti.extend(np.asarray(ti[sel]).tolist())
+        buf_ts.extend(np.asarray(ts[sel]).tolist())
+        buf_tool.extend(np.asarray(tool[sel]).tolist())
 
     # --- emit buffered turns whose event time <= watermark, in order
     out_rows: list[tuple] = []

@@ -349,7 +349,7 @@ def test_doc_pack_sequences(spark):
     token total stays under budget + one chunk (contiguous fill never
     splits a chunk)."""
     docs = _docs(spark)
-    got = dg.doc_pack_sequences(docs)
+    got = dg.doc_pack_sequences(docs, n_buckets=dg.PACK_BUCKETS)
     want = duck_sql(dg.DOC_PACK_ORACLE_SQL_TEMPLATE.format(
         size=dg.CHUNK_SIZE, stride=dg.CHUNK_STRIDE,
         budget=dg.PACK_BUDGET, n_buckets=dg.PACK_BUCKETS))
@@ -359,3 +359,11 @@ def test_doc_pack_sequences(spark):
     assert per_pack.filter(
         F.col("tot") >= dg.PACK_BUDGET + dg.CHUNK_SIZE
     ).count() == 0
+    # default bucket count tracks the cluster: packing parallelism scales
+    # with sparkContext.defaultParallelism unless a layout is pinned (the
+    # modulo literal in the plan is the chosen bucket count)
+    par = spark.sparkContext.defaultParallelism
+    plan = dg.doc_pack_sequences(docs)._jdf.queryExecution().analyzed().toString()
+    assert f"% {par}" in plan
+    vals = {r["bucket"] for r in dg.doc_pack_sequences(docs).select("bucket").distinct().collect()}
+    assert vals <= set(range(par))
