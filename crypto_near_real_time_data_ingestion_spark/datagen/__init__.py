@@ -1,3 +1,7 @@
+from .embeddings import (  # noqa: F401
+    clustered_embeddings_path,
+    ensure_clustered_embeddings,
+)
 from .transcripts import (  # noqa: F401
     TranscriptConfig,
     ensure_transcripts,

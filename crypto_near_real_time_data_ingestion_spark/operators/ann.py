@@ -366,6 +366,7 @@ def ivf_ann_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     sample_cap: int = 4096,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) cosine top-k with a branch-and-bound
     completeness guarantee — EXACT output on any corpus.
@@ -467,4 +468,9 @@ def ivf_ann_topk(
     all_cand = candidates(
         cells.filter(F.col("crank") <= nprobe).select("vec_id", "cell").union(p2_cells)
     ).distinct()
+    if stats_out is not None:
+        # diagnostic hook (tests/bench audits only — two extra driver
+        # actions): how hard the triangle-inequality bound pruned
+        stats_out["n_phase2_cells"] = p2_cells.count()
+        stats_out["n_candidates"] = all_cand.count()
     return _rerank_candidates(emb, all_cand, k)
