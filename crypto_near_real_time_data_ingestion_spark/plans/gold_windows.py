@@ -23,7 +23,7 @@ shuffling ~10^12 rows and ~10^9.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 GRAINS = {"hour": "1 hour", "day": "1 day"}
@@ -166,6 +166,41 @@ def conv_window_stats_sliding_stream(
 ) -> DataFrame:
     """Streaming sliding windows under the chain's upstream watermark."""
     return conv_window_stats_sliding(silver_stream, length, slide)
+
+
+def rank_window_stats(stats: DataFrame) -> DataFrame:
+    """W10 (per-period ranking, 2 dense_rank variants,
+    ``gold_ml_training_job.py:129-134``) over the window-stats table:
+    rank conversations within each window by activity and by tool-call
+    rate. In streaming form this runs inside ``foreachBatch`` on the
+    append-mode window-stats stream — correct because append mode emits
+    EVERY row of a window in the single micro-batch where the watermark
+    crosses its end, so a micro-batch-local rank over the closed windows
+    is the global rank (SURVEY §2.4's W10 streaming mapping). The key
+    set per batch is bounded (windows just closed), so the rank's
+    per-window sort stays small regardless of total stream length."""
+    w1 = Window.partitionBy("window_start").orderBy(F.desc("n_turns"))
+    w2 = Window.partitionBy("window_start").orderBy(F.desc("tool_call_rate"))
+    return stats.select(
+        "window_start",
+        "window_end",
+        "conv_id",
+        "n_turns",
+        "tool_call_rate",
+        F.dense_rank().over(w1).cast("long").alias("rank_turns"),
+        F.dense_rank().over(w2).cast("long").alias("rank_tool_rate"),
+    )
+
+
+# W10 oracle: dense ranks over the hour-grain window stats
+WINDOW_RANK_ORACLE_SQL_TEMPLATE = """
+SELECT window_start, window_end, conv_id, n_turns, tool_call_rate,
+       CAST(dense_rank() OVER (PARTITION BY window_start
+                               ORDER BY n_turns DESC) AS BIGINT) AS rank_turns,
+       CAST(dense_rank() OVER (PARTITION BY window_start
+                               ORDER BY tool_call_rate DESC) AS BIGINT) AS rank_tool_rate
+FROM ({inner}) t
+"""
 
 
 # sliding windows in plain SQL: each row belongs to the (length/slide)

@@ -10,6 +10,8 @@ S3 — but incrementally, per micro-batch.
 Queries:
   silver      raw → cleanse → dropDuplicatesWithinWatermark → MERGE
   gold_hour   silver-stream → tumbling 1h window agg → MERGE (append-on-close)
+  gold_hour_rank  same agg → per-closed-window dense_rank in foreachBatch
+              (W10 streaming form) → MERGE
   gold_day    same at day grain
   sessions    silver-stream → session_window(30 min) → MERGE (update-on-merge)
   pairs       silver-stream ⋈ silver-stream (user ↔ response) → MERGE
@@ -67,12 +69,20 @@ def _start(
     mode: str,
     available_now: bool,
     trigger_interval: str | None,
+    transform=None,
 ) -> StreamingQuery:
+    """``transform``: optional batch-DataFrame → batch-DataFrame function
+    applied inside foreachBatch BEFORE the sink — the hook for micro-
+    batch-local post-processing (e.g. W10's per-closed-window rank)."""
+    if transform is None:
+        handler = sink.foreach_batch_handler()
+    else:
+        handler = lambda bdf, bid: sink.process_batch(transform(bdf), bid)  # noqa: E731
     writer = (
         df.writeStream.queryName(name)
         .outputMode(mode)
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(sink.foreach_batch_handler())
+        .foreachBatch(handler)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -118,6 +128,22 @@ def start_pipeline(
         h.queries["gold_hour"] = _start(
             conv_window_stats_stream(silver_stream(src(), watermark), "hour"),
             sink, "gold_hour", ckpt("gold_hour"), "append", available_now, trigger_interval,
+        )
+
+    if "gold_hour_rank" in queries:
+        from ..plans.gold_windows import rank_window_stats
+
+        # W10 streaming form: append-mode hour windows close fully within
+        # one micro-batch, so a batch-local dense_rank per window_start IS
+        # the global per-window rank (see rank_window_stats docstring)
+        sink = ParquetMergeSink(
+            table("gold_hour_rank"), ["window_start", "conv_id"], None
+        )
+        h.sinks["gold_hour_rank"] = sink
+        h.queries["gold_hour_rank"] = _start(
+            conv_window_stats_stream(silver_stream(src(), watermark), "hour"),
+            sink, "gold_hour_rank", ckpt("gold_hour_rank"), "append",
+            available_now, trigger_interval, transform=rank_window_stats,
         )
 
     if "gold_day" in queries:

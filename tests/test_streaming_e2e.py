@@ -40,7 +40,7 @@ def drained(spark, transcripts_parquet, stream_parquet_dir):
         spark,
         fsrc,
         WORK,
-        queries=("silver", "gold_hour", "sessions", "pairs", "role_runs"),
+        queries=("silver", "gold_hour", "gold_hour_rank", "sessions", "pairs", "role_runs"),
         max_files_per_trigger=2,
     )
     return h
@@ -60,6 +60,26 @@ def test_stream_gold_hour_equals_batch(spark, transcripts_parquet, drained):
     got = _no_flush(drained.sinks["gold_hour"].read(spark))
     want = conv_window_stats(
         silver_batch(read_transcripts(spark, transcripts_parquet)), "hour"
+    )
+    assert_df_equal(got, want.toPandas(), sort_cols=["conv_id", "window_start"])
+
+
+def test_stream_rank_equals_batch(spark, transcripts_parquet, drained):
+    """W10 streaming form: per-closed-window dense_rank in foreachBatch ==
+    the batch rank over the same window stats. The micro-batch-local rank
+    is globally correct because append mode emits every row of a window
+    in the single batch where the watermark crosses its end — the flush
+    sentinel's own window holds only the sentinel, so filtering it can't
+    shift any real rank."""
+    from crypto_near_real_time_data_ingestion_spark.plans.gold_windows import (
+        rank_window_stats,
+    )
+
+    got = _no_flush(drained.sinks["gold_hour_rank"].read(spark))
+    want = rank_window_stats(
+        conv_window_stats(
+            silver_batch(read_transcripts(spark, transcripts_parquet)), "hour"
+        )
     )
     assert_df_equal(got, want.toPandas(), sort_cols=["conv_id", "window_start"])
 
