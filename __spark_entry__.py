@@ -113,7 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bit-equal in pytest): gold_conv_features (Catalyst twin of the Arrow
     formulation — test_rolling_vectorized), gold_window_stats_hour_salted
     (test_skew), gold_window_stats_month (same trunc-grain path as the
-    graded week), sql_view_gold_hour (test_retired_twins), doc_langid
+    graded week), sql_view_gold_hour (test_entry_contract), doc_langid
     (test_documents_ops; also inside the graded curation/stratified
     oracles), emb_cosine_topk_exprs (the O(n²) expression twin of the
     graded GEMM path — test_documents_ops)."""
@@ -283,7 +283,7 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sql/athena_projections_ddl_gold_ohlc.sql:44-54``). Retired from
     the graded ``queries()`` (twin of gold_window_stats_hour; the S13
     view layer stays graded via sql_view_ohlc_week) — kept here for the
-    pytest equivalence check in test_retired_twins.py."""
+    pytest equivalence check in test_entry_contract.py."""
     silver_plan.silver_batch(_transcripts(spark, sf_dir)).createOrReplaceTempView(
         "silver_turns_v"
     )
@@ -429,8 +429,8 @@ def _clustered_topk_oracle(k: int = 5) -> str:
     )
 
     cpath = ensure_clustered_embeddings(_ORACLE_SF)
-    return dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(k=k).replace(
-        "FROM embeddings", f"FROM read_parquet('{cpath}')"
+    return dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(
+        k=k, table=f"read_parquet('{cpath}')"
     )
 
 
@@ -557,7 +557,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_clusters": clusters_op.dup_clusters_oracle_sql(threshold=0.5),
         "doc_text_stats": dg.DOC_TEXT_STATS_ORACLE_SQL,
         "doc_ngram_jaccard": dg.DOC_JACCARD_ORACLE_SQL_TEMPLATE.format(threshold=0.5),
-        "emb_cosine_topk": dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(k=5),
+        "emb_cosine_topk": dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(
+            k=5, table="embeddings"
+        ),
         "emb_near_dup": dg.EMB_NEAR_DUP_ORACLE_SQL_TEMPLATE.format(threshold=0.45),
         # MinHash-LSH generates candidates then EXACT-verifies them, so its
         # output equals the exact-Jaccard query whenever band recall is 1.0

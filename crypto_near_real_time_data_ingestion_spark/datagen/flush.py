@@ -12,6 +12,7 @@ so the file stream source preserves the generator's arrival sequence.
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import shutil
 
@@ -23,23 +24,45 @@ import pyarrow.parquet as pq
 from .transcripts import SCHEMA
 
 FLUSH_CONV_ID = "__flush__"
+_FP_SIDECAR = "_src_fingerprint"
+
+
+def _src_fingerprint(files: list[str], flush_hours: int) -> str:
+    """Name+size digest of the source part-files (plus the sentinel
+    config). Regenerated-byte-identical sources hash equal (no rebuild);
+    a generator or layout change hashes different (rebuild)."""
+    h = hashlib.md5()
+    h.update(f"flush_hours={flush_hours}".encode())
+    for f in files:
+        h.update(f"{os.path.basename(f)}:{os.stat(f).st_size}".encode())
+    return h.hexdigest()
 
 
 def build_flushed_source(src_stream_dir: str, dest_dir: str, flush_hours: int = 26) -> str:
     """Copy stream part-files to ``dest_dir`` with ordered mtimes and append
-    a sentinel flush file. Returns ``dest_dir``. Idempotent.
+    a sentinel flush file. Returns ``dest_dir``. Idempotent AND
+    self-invalidating: a fingerprint sidecar records the source's
+    (name, size) set, so regenerating the transcripts after a generator
+    change rebuilds the copy instead of silently serving stale data; the
+    copy is built in a temp dir and atomically renamed into place, so an
+    interrupted build can never leave a half-populated dir that passes
+    the existence check.
 
     ``flush_hours`` must clear the LONGEST streamed window grain plus the
     watermark: 26 h covers a day window whose end lies up to 24 h past
     the last event (hour/sliding/session need far less)."""
-    if os.path.isdir(dest_dir) and glob.glob(os.path.join(dest_dir, "zz-flush.parquet")):
-        return dest_dir
-    os.makedirs(dest_dir, exist_ok=True)
     files = sorted(glob.glob(os.path.join(src_stream_dir, "part-*.parquet")))
+    fp_want = _src_fingerprint(files, flush_hours)
+    fp_file = os.path.join(dest_dir, _FP_SIDECAR)
+    if os.path.isfile(fp_file) and open(fp_file).read() == fp_want:
+        return dest_dir
+    tmp_dir = dest_dir + ".build"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
     base = 1_000_000_000
     max_ts = None
     for i, f in enumerate(files):
-        d = os.path.join(dest_dir, os.path.basename(f))
+        d = os.path.join(tmp_dir, os.path.basename(f))
         shutil.copy(f, d)
         os.utime(d, (base + i, base + i))
         m = pq.read_table(f, columns=["ts"])["ts"].to_pandas().max()
@@ -54,7 +77,11 @@ def build_flushed_source(src_stream_dir: str, dest_dir: str, flush_hours: int = 
             "ts": [max_ts + pd.Timedelta(hours=flush_hours)],
         }
     )
-    fp = os.path.join(dest_dir, "zz-flush.parquet")
+    fp = os.path.join(tmp_dir, "zz-flush.parquet")
     pq.write_table(pa.Table.from_pandas(flush, schema=SCHEMA, preserve_index=False), fp)
     os.utime(fp, (base + len(files), base + len(files)))
+    with open(os.path.join(tmp_dir, _FP_SIDECAR), "w") as fh:
+        fh.write(fp_want)
+    shutil.rmtree(dest_dir, ignore_errors=True)
+    os.rename(tmp_dir, dest_dir)
     return dest_dir

@@ -109,6 +109,61 @@ def doc_dup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return cc.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 
 
+def emb_dup_clusters(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """SEMANTIC dedup closure: connected components over the
+    embedding-cosine near-duplicate pair graph — the embedding-space
+    sibling of ``doc_dup_clusters`` (text/MinHash space). Together they
+    complete the dedup family: exact → n-gram → MinHash-LSH → SimHash →
+    embedding-cosine, each with pair AND cluster forms.
+
+    Pairs come from the distributed block-GEMM scorer
+    (``operators/ann.broadcast_near_dup_pairs`` — no driver collect,
+    tile-bounded memory), so the whole plan is cluster-shaped: shuffle
+    ∝ edges, O(diameter) rounds. Output: (vec_id, cluster_id,
+    cluster_size); vectors with no near-dup form singleton clusters."""
+    from .ann import broadcast_near_dup_pairs
+
+    pairs = broadcast_near_dup_pairs(emb, threshold).select(
+        F.col("vec_id_1"), F.col("vec_id_2")
+    )
+    vertices = emb.select("vec_id")
+    cc = connected_components(
+        vertices, pairs, vertex_col="vec_id",
+        src_col="vec_id_1", dst_col="vec_id_2",
+    )
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select("vec_id", "cluster_id", "cluster_size")
+
+
+def emb_dup_clusters_oracle_sql(threshold: float = 0.45) -> str:
+    """DuckDB recursive min-label closure over the exact cosine pairs
+    (the same pair oracle that grades ``emb_near_dup``)."""
+    from ..plans.documents_gold import EMB_NEAR_DUP_ORACLE_SQL_TEMPLATE
+
+    pairs = EMB_NEAR_DUP_ORACLE_SQL_TEMPLATE.format(threshold=threshold)
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT vec_id_1, vec_id_2 FROM ({pairs}) np
+),
+edges AS (
+    SELECT vec_id_1 AS src, vec_id_2 AS dst FROM pairs
+    UNION ALL
+    SELECT vec_id_2, vec_id_1 FROM pairs
+),
+verts AS (SELECT vec_id FROM embeddings),
+reach AS (
+    SELECT vec_id, vec_id AS label FROM verts
+    UNION
+    SELECT e.src AS vec_id, r.label
+    FROM reach r JOIN edges e ON e.dst = r.vec_id
+),
+cc AS (SELECT vec_id, min(label) AS cluster_id FROM reach GROUP BY vec_id)
+SELECT vec_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cc
+"""
+
+
 def dup_clusters_oracle_sql(threshold: float = 0.5) -> str:
     """DuckDB recursive transitive min-label closure over the EXACT
     Jaccard pairs (== the verified LSH pairs at pinned recall 1.0)."""

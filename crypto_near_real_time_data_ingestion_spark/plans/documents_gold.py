@@ -274,7 +274,7 @@ def emb_cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
 
 
 EMB_TOPK_ORACLE_SQL_TEMPLATE = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
 pairs AS (
     SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
            round(list_cosine_similarity(a.v, b.v), 6) AS cosine
@@ -597,4 +597,76 @@ SELECT bucket,
              / {budget}) AS BIGINT) AS pack_id,
        doc_id, chunk_idx, n_tokens
 FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (redaction) — the compliance pass every training-data
+# pipeline runs before chunking/tokenization
+# ---------------------------------------------------------------------------
+
+# Patterns are kept inside the Java-regex ∩ RE2 common dialect (\d, \b,
+# bounded repeats, character classes) so the DuckDB oracle applies the
+# IDENTICAL expressions. Replacement order is load-bearing and mirrored
+# in the oracle: emails first (their local parts contain digits), then
+# IPv4 (dot-separated short digit groups a later digit-run pass must not
+# see), then long digit runs (phone/account shaped).
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def doc_pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4 addresses, long digit runs)
+    and report per-document match counts.
+
+    Pure Catalyst (``regexp_count`` + chained ``regexp_replace``): whole-
+    stage codegen, no shuffle, no Python — the 100 TB shape is a map-only
+    pass fused into the scan. Each pattern is counted on the text AS THE
+    PREVIOUS REPLACEMENTS LEFT IT (count → scrub → count → …), so counts
+    are unambiguous under overlap and the DuckDB oracle can reproduce
+    them exactly. Reference analog: the cleansing battery's repair
+    expressions (``silver_transform_job.py`` null/negative repairs) —
+    same dispatch-and-repair shape, applied to text instead of numerics.
+    """
+    cur = F.col("text")
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        *counts,
+        cur.alias("clean_text"),
+    ).withColumn(
+        "has_pii",
+        (F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0),
+    )
+
+
+DOC_PII_ORACLE_SQL = r"""
+WITH s0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+    FROM s0
+),
+s2 AS (
+    SELECT doc_id, n_email,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
+           regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, n_email, n_ip,
+           CAST(len(regexp_extract_all(t, '\+?\d[\d\- ]{7,}\d')) AS INTEGER) AS n_phone,
+           regexp_replace(t, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS t
+    FROM s2
+)
+SELECT doc_id, n_email, n_ip, n_phone, t AS clean_text,
+       (n_email + n_ip + n_phone > 0) AS has_pii
+FROM s3
 """

@@ -122,16 +122,18 @@ def _step(
 
     # --- ingest new rows (exact dedup vs buffered+emitted), vectorized:
     # first batch occurrence per turn_idx (np.unique return_index), then
-    # one isin against the already-known set — no per-row Python loop
+    # one isin against the already-known set — no per-row Python loop.
+    # The emitted part of `known` is constant across this step's chunks,
+    # so it converts to ndarray ONCE; only the growing buffered part is
+    # re-appended per chunk.
+    emitted_arr = np.fromiter(emitted_set, dtype=np.int64, count=len(emitted_set))
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
         ti = pdf["turn_idx"].to_numpy()
         ts = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         tool = pdf["tool"].notna().to_numpy()
-        known = np.fromiter(
-            emitted_set, dtype=np.int64, count=len(emitted_set)
-        )
+        known = emitted_arr
         if buf_ti:
             known = np.concatenate([known, np.asarray(buf_ti, dtype=np.int64)])
         uniq, first_idx = np.unique(ti, return_index=True)

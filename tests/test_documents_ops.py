@@ -58,7 +58,7 @@ def test_doc_ngram_jaccard(spark):
 
 def test_emb_cosine_topk(spark):
     got = dg.emb_cosine_topk(_emb(spark), k=5)
-    want = duck_sql(dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(k=5))
+    want = duck_sql(dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(k=5, table="embeddings"))
     assert_df_equal(got, want, sort_cols=["vec_id", "rank"])
 
 
@@ -367,3 +367,18 @@ def test_doc_pack_sequences(spark):
     assert f"% {par}" in plan
     vals = {r["bucket"] for r in dg.doc_pack_sequences(docs).select("bucket").distinct().collect()}
     assert vals <= set(range(par))
+
+
+def test_doc_pack_default_follows_parallelism(spark, monkeypatch):
+    """Discriminating form of the default-bucket claim: on this fixture
+    defaultParallelism == PACK_BUCKETS == 8, so '% 8' in the plan can't
+    distinguish 'tracks the cluster' from 'hardcoded 8'. Patch the
+    Python-side property to a value no config uses (13) and assert the
+    plan picks it up — a revert to a hardcoded default fails here."""
+    from pyspark import SparkContext
+
+    monkeypatch.setattr(
+        SparkContext, "defaultParallelism", property(lambda self: 13)
+    )
+    plan = dg.doc_pack_sequences(_docs(spark))._jdf.queryExecution().analyzed().toString()
+    assert "% 13" in plan
