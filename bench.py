@@ -159,12 +159,14 @@ def _run_worker_once(cores: int, mfpt: int = 32) -> dict:
 # recovers the machine's noise-free capability, which is the quantity the
 # scaling criterion is about. Steal sensitivity grows with thread count
 # (a 2-core run almost always finds 2 quiet cores; an 8-core run needs 8
-# simultaneously), so the WIDE level gets extra reps (REPS_4N, default
-# 2×REPS) — measured on a bad morning: N suppressed 17% vs best-known,
-# 4N suppressed 39%, which is exactly the asymmetry extra wide-level
-# samples repair. Each 4N rep costs ~75 s; each N rep ~215 s.
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-REPS_4N = int(os.environ.get("SPARK_GRAFT_BENCH_REPS_4N", str(2 * REPS)))
+# simultaneously — measured on a bad morning: N suppressed 17% vs
+# best-known, 4N suppressed 39%), so REPS must be high enough for the
+# WIDE level to find a quiet window. Both levels get the SAME rep count:
+# best-of-K is stochastically increasing in K, so giving 4N extra reps
+# would bias the efficiency ratio upward even on a steal-free machine.
+# Each 4N rep costs ~75 s; each N rep ~215 s.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+REPS_4N = int(os.environ.get("SPARK_GRAFT_BENCH_REPS_4N", str(REPS)))
 
 
 def _run_worker(cores: int, mfpt: int = 32, reps: int = REPS) -> dict:

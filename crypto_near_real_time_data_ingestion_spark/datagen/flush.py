@@ -15,6 +15,8 @@ import glob
 import hashlib
 import os
 import shutil
+import tempfile
+import time
 
 import numpy as np
 import pandas as pd
@@ -28,13 +30,16 @@ _FP_SIDECAR = "_src_fingerprint"
 
 
 def _src_fingerprint(files: list[str], flush_hours: int) -> str:
-    """Name+size digest of the source part-files (plus the sentinel
-    config). Regenerated-byte-identical sources hash equal (no rebuild);
-    a generator or layout change hashes different (rebuild)."""
+    """Name+size+mtime digest of the source part-files (plus the sentinel
+    config). Size alone would miss a content change that preserves every
+    part-file's encoded size (e.g. fixed-width value flips under the same
+    codec); mtime_ns closes that hole at the cost of one cheap spurious
+    copy-rebuild after a byte-identical regeneration."""
     h = hashlib.md5()
     h.update(f"flush_hours={flush_hours}".encode())
     for f in files:
-        h.update(f"{os.path.basename(f)}:{os.stat(f).st_size}".encode())
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()
 
 
@@ -44,9 +49,10 @@ def build_flushed_source(src_stream_dir: str, dest_dir: str, flush_hours: int = 
     self-invalidating: a fingerprint sidecar records the source's
     (name, size) set, so regenerating the transcripts after a generator
     change rebuilds the copy instead of silently serving stale data; the
-    copy is built in a temp dir and atomically renamed into place, so an
-    interrupted build can never leave a half-populated dir that passes
-    the existence check.
+    copy is built in a per-process temp dir and atomically renamed into
+    place under an O_EXCL lock, so an interrupted build can never leave a
+    half-populated dir that passes the fingerprint check and concurrent
+    builders (bench worker vs pytest) cannot clobber each other.
 
     ``flush_hours`` must clear the LONGEST streamed window grain plus the
     watermark: 26 h covers a day window whose end lies up to 24 h past
@@ -56,9 +62,48 @@ def build_flushed_source(src_stream_dir: str, dest_dir: str, flush_hours: int = 
     fp_file = os.path.join(dest_dir, _FP_SIDECAR)
     if os.path.isfile(fp_file) and open(fp_file).read() == fp_want:
         return dest_dir
-    tmp_dir = dest_dir + ".build"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    os.makedirs(tmp_dir)
+    # Cross-process exclusion: bench workers and a concurrent pytest can
+    # race to (re)build the same /tmp-shared copy. An O_EXCL lock file
+    # serializes the swap; losers wait, then re-check the fingerprint (the
+    # winner usually built exactly what they wanted). A lock older than
+    # 10 min is presumed orphaned (builder crashed) and broken.
+    parent = os.path.dirname(dest_dir.rstrip(os.sep)) or "."
+    os.makedirs(parent, exist_ok=True)
+    lock_path = dest_dir.rstrip(os.sep) + ".lock"
+    while True:
+        try:
+            lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock_path).st_mtime > 600:
+                    os.unlink(lock_path)
+                    continue
+            except FileNotFoundError:
+                continue
+            time.sleep(0.5)
+    try:
+        if os.path.isfile(fp_file) and open(fp_file).read() == fp_want:
+            return dest_dir
+        tmp_dir = tempfile.mkdtemp(prefix=os.path.basename(dest_dir.rstrip(os.sep)) + ".build-", dir=parent)
+        return _build_into(tmp_dir, dest_dir, files, fp_want, flush_hours)
+    finally:
+        os.close(lock_fd)
+        try:
+            os.unlink(lock_path)
+        except FileNotFoundError:
+            pass
+
+
+def _build_into(tmp_dir: str, dest_dir: str, files: list[str], fp_want: str, flush_hours: int) -> str:
+    try:
+        return _build_into_inner(tmp_dir, dest_dir, files, fp_want, flush_hours)
+    except BaseException:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise
+
+
+def _build_into_inner(tmp_dir: str, dest_dir: str, files: list[str], fp_want: str, flush_hours: int) -> str:
     base = 1_000_000_000
     max_ts = None
     for i, f in enumerate(files):

@@ -95,6 +95,11 @@ def connected_components(
     )
 
 
+def _with_cluster_sizes(cc: DataFrame, vertex_col: str) -> DataFrame:
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(vertex_col, "cluster_id", "cluster_size")
+
+
 def doc_dup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Near-dup clusters over the MinHash-LSH verified pair graph (the
     scale path — candidates via band buckets, exact-Jaccard verified,
@@ -104,17 +109,30 @@ def doc_dup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
     pairs = minhash_lsh_pairs(docs, threshold).select("doc_id_1", "doc_id_2")
     vertices = docs.filter(F.col("text").isNotNull()).select("doc_id")
-    cc = connected_components(vertices, pairs)
-    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cc.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+    return _with_cluster_sizes(connected_components(vertices, pairs), "doc_id")
+
+
+def simhash_dup_clusters(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup clusters over the SimHash pigeonhole pair graph — the
+    bit-signature sibling of ``doc_dup_clusters``. Same closure, pairs
+    from the 4-block hamming-≤ k join (shuffle ∝ block buckets, no
+    all-pairs work). Output: (doc_id, cluster_id, cluster_size)."""
+    from .text_dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs, max_hamming).select("doc_id_1", "doc_id_2")
+    vertices = docs.filter(F.col("text").isNotNull()).select("doc_id")
+    return _with_cluster_sizes(connected_components(vertices, pairs), "doc_id")
 
 
 def emb_dup_clusters(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     """SEMANTIC dedup closure: connected components over the
     embedding-cosine near-duplicate pair graph — the embedding-space
-    sibling of ``doc_dup_clusters`` (text/MinHash space). Together they
-    complete the dedup family: exact → n-gram → MinHash-LSH → SimHash →
-    embedding-cosine, each with pair AND cluster forms.
+    sibling of ``doc_dup_clusters`` (text/MinHash space). Cluster-form
+    status across the dedup family: exact dedup groups by content hash
+    (its groups ARE the clusters), MinHash-LSH / SimHash /
+    embedding-cosine each have an explicit closure op here, and the
+    n-gram-Jaccard closure coincides with ``doc_dup_clusters`` (the LSH
+    pairs are Jaccard-verified at pinned recall 1.0).
 
     Pairs come from the distributed block-GEMM scorer
     (``operators/ann.broadcast_near_dup_pairs`` — no driver collect,
@@ -131,63 +149,70 @@ def emb_dup_clusters(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
         vertices, pairs, vertex_col="vec_id",
         src_col="vec_id_1", dst_col="vec_id_2",
     )
-    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cc.join(sizes, "cluster_id").select("vec_id", "cluster_id", "cluster_size")
+    return _with_cluster_sizes(cc, "vec_id")
+
+
+# One closure oracle serves every pair generator — parameterized by
+# (pairs SQL, its two id columns, the vertex source) exactly as
+# connected_components itself is, so a semantics fix cannot diverge the
+# per-family oracles.
+_CLOSURE_ORACLE_SQL_TEMPLATE = """
+WITH RECURSIVE pairs AS (
+    SELECT {id1}, {id2} FROM ({pairs_sql}) p
+),
+edges AS (
+    SELECT {id1} AS src, {id2} AS dst FROM pairs
+    UNION ALL
+    SELECT {id2}, {id1} FROM pairs
+),
+verts AS ({verts_sql}),
+reach AS (
+    SELECT {vid}, {vid} AS label FROM verts
+    UNION
+    SELECT e.src AS {vid}, r.label
+    FROM reach r JOIN edges e ON e.dst = r.{vid}
+),
+cc AS (SELECT {vid}, min(label) AS cluster_id FROM reach GROUP BY {vid})
+SELECT {vid}, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cc
+"""
+
+_DOC_VERTS_SQL = "SELECT doc_id FROM documents WHERE text IS NOT NULL"
+
+
+def closure_oracle_sql(pairs_sql: str, vid: str, id1: str, id2: str, verts_sql: str) -> str:
+    """DuckDB recursive transitive min-label closure over an arbitrary
+    pair SQL — an independent formulation of ``connected_components``."""
+    return _CLOSURE_ORACLE_SQL_TEMPLATE.format(
+        pairs_sql=pairs_sql, vid=vid, id1=id1, id2=id2, verts_sql=verts_sql
+    )
 
 
 def emb_dup_clusters_oracle_sql(threshold: float = 0.45) -> str:
-    """DuckDB recursive min-label closure over the exact cosine pairs
-    (the same pair oracle that grades ``emb_near_dup``)."""
+    """Closure over the exact cosine pairs (the same pair oracle that
+    grades ``emb_near_dup``)."""
     from ..plans.documents_gold import EMB_NEAR_DUP_ORACLE_SQL_TEMPLATE
 
     pairs = EMB_NEAR_DUP_ORACLE_SQL_TEMPLATE.format(threshold=threshold)
-    return f"""
-WITH RECURSIVE pairs AS (
-    SELECT vec_id_1, vec_id_2 FROM ({pairs}) np
-),
-edges AS (
-    SELECT vec_id_1 AS src, vec_id_2 AS dst FROM pairs
-    UNION ALL
-    SELECT vec_id_2, vec_id_1 FROM pairs
-),
-verts AS (SELECT vec_id FROM embeddings),
-reach AS (
-    SELECT vec_id, vec_id AS label FROM verts
-    UNION
-    SELECT e.src AS vec_id, r.label
-    FROM reach r JOIN edges e ON e.dst = r.vec_id
-),
-cc AS (SELECT vec_id, min(label) AS cluster_id FROM reach GROUP BY vec_id)
-SELECT vec_id, cluster_id,
-       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-FROM cc
-"""
+    return closure_oracle_sql(
+        pairs, "vec_id", "vec_id_1", "vec_id_2", "SELECT vec_id FROM embeddings"
+    )
 
 
 def dup_clusters_oracle_sql(threshold: float = 0.5) -> str:
-    """DuckDB recursive transitive min-label closure over the EXACT
-    Jaccard pairs (== the verified LSH pairs at pinned recall 1.0)."""
+    """Closure over the EXACT Jaccard pairs (== the verified LSH pairs
+    at pinned recall 1.0)."""
     from ..plans.documents_gold import DOC_JACCARD_ORACLE_SQL_TEMPLATE
 
     pairs = DOC_JACCARD_ORACLE_SQL_TEMPLATE.format(threshold=threshold)
-    return f"""
-WITH RECURSIVE pairs AS (
-    SELECT doc_id_1, doc_id_2 FROM ({pairs}) jp
-),
-edges AS (
-    SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
-    UNION ALL
-    SELECT doc_id_2, doc_id_1 FROM pairs
-),
-verts AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
-reach AS (
-    SELECT doc_id, doc_id AS label FROM verts
-    UNION
-    SELECT e.src AS doc_id, r.label
-    FROM reach r JOIN edges e ON e.dst = r.doc_id
-),
-cc AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
-SELECT doc_id, cluster_id,
-       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-FROM cc
-"""
+    return closure_oracle_sql(pairs, "doc_id", "doc_id_1", "doc_id_2", _DOC_VERTS_SQL)
+
+
+def simhash_dup_clusters_oracle_sql(max_hamming: int = 3) -> str:
+    """Closure over the DuckDB-re-derived SimHash pairs (the same
+    HUGEINT mod-2⁶⁴ re-derivation that grades ``doc_simhash_pairs``)."""
+    from .text_dedup import simhash_oracle_sql
+
+    pairs = simhash_oracle_sql(max_hamming)
+    return closure_oracle_sql(pairs, "doc_id", "doc_id_1", "doc_id_2", _DOC_VERTS_SQL)

@@ -73,6 +73,39 @@ def test_flush_source_rebuilds_on_source_change(dirs):
     assert mtimes == sorted(mtimes)
 
 
+def test_flush_source_rebuilds_on_same_size_change(dirs):
+    """A content change that preserves every part-file's size must still
+    invalidate (fingerprint includes mtime_ns, not just name:size)."""
+    src, dst = dirs
+    _write(src, "part-00000.parquet", 5)
+    build_flushed_source(src, dst)
+    # copied-file mtimes are pinned, so the rebuild witness is the dest
+    # directory inode — the atomic rename swaps in a fresh directory
+    dir_ino = os.stat(dst).st_ino
+    # regenerate byte-identically: same name, same size, new mtime
+    _write(src, "part-00000.parquet", 5)
+    build_flushed_source(src, dst)
+    assert os.stat(dst).st_ino != dir_ino
+
+
+def test_flush_source_lock_lifecycle(dirs):
+    src, dst = dirs
+    _write(src, "part-00000.parquet", 5)
+    lock = dst.rstrip(os.sep) + ".lock"
+
+    # a stale lock (orphaned by a crashed builder) is broken, not waited on
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    with open(lock, "w"):
+        pass
+    os.utime(lock, (1, 1))
+    build_flushed_source(src, dst)
+    assert os.path.isfile(os.path.join(dst, "zz-flush.parquet"))
+    # the lock is released after the build, and no tmp build dirs linger
+    assert not os.path.exists(lock)
+    parent = os.path.dirname(dst)
+    assert not [d for d in os.listdir(parent) if ".build-" in d]
+
+
 def test_flush_source_interrupted_build_not_served(dirs):
     src, dst = dirs
     _write(src, "part-00000.parquet", 5)

@@ -22,6 +22,8 @@ from conftest import SF_DIR, assert_df_equal, duck_sql
 from crypto_near_real_time_data_ingestion_spark.operators.clusters import (
     emb_dup_clusters,
     emb_dup_clusters_oracle_sql,
+    simhash_dup_clusters,
+    simhash_dup_clusters_oracle_sql,
 )
 from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
     DOC_PII_ORACLE_SQL,
@@ -45,6 +47,19 @@ def test_emb_dup_clusters_nontrivial(spark):
         "vec_id", "embedding"
     )
     sizes = {r.cluster_size for r in emb_dup_clusters(emb).collect()}
+    assert 1 in sizes and max(sizes) >= 2, sizes
+
+
+def test_simhash_dup_clusters_matches_recursive_oracle(spark):
+    """SimHash pigeonhole pairs closed into components == the DuckDB
+    recursive closure over the HUGEINT-re-derived all-pairs hamming
+    oracle — the bit-signature cluster form beside the MinHash-LSH and
+    embedding-cosine ones."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = simhash_dup_clusters(docs, 3)
+    want = duck_sql(simhash_dup_clusters_oracle_sql(3))
+    assert_df_equal(got, want, sort_cols=["doc_id"])
+    sizes = {r.cluster_size for r in got.collect()}
     assert 1 in sizes and max(sizes) >= 2, sizes
 
 
