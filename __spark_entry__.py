@@ -113,7 +113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bit-equal in pytest): gold_conv_features (Catalyst twin of the Arrow
     formulation — test_rolling_vectorized), gold_window_stats_hour_salted
     (test_skew), gold_window_stats_month (same trunc-grain path as the
-    graded week), sql_view_gold_hour (test_entry_contract), doc_langid
+    graded week), gold_window_stats_day (same parameterized path as the
+    graded hour; its exact output stays driver-graded via
+    streaming_gold_day — test_gold_plans), sql_view_gold_hour
+    (test_entry_contract), doc_langid
     (test_documents_ops; also inside the graded curation/stratified
     oracles), emb_cosine_topk_exprs (the O(n²) expression twin of the
     graded GEMM path — test_documents_ops)."""
@@ -164,6 +167,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dg.read_documents(s, d)
     )
     q["doc_simhash_pairs"] = lambda s, d: td_op.simhash_pairs(dg.read_documents(s, d))
+    # grouped top-k with map-side partial trimming (operators/topk.py) —
+    # per-source curation cut-off; shuffle carries <= k rows per key per
+    # Arrow batch instead of the corpus
+    q["doc_topk_per_source"] = lambda s, d: dg.doc_topk_per_source(
+        dg.read_documents(s, d)
+    )
 
     # --- medallion pipeline over transcripts (SURVEY §2: P11-P16, W1-W4,
     # A3-A5, J2, streaming-analog batch oracles) ----------------------------
@@ -171,9 +180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gold_window_stats_hour"] = lambda s, d: gold_windows.conv_window_stats(
         _silver(s, d), "hour"
     )
-    q["gold_window_stats_day"] = lambda s, d: gold_windows.conv_window_stats(
-        _silver(s, d), "day"
-    )
+    # (gold_window_stats_day retired round 3 to make window room: the day
+    # grain's exact oracle output stays driver-graded via streaming_gold_day,
+    # and the batch path is pytest-graded in test_gold_plans.py)
     q["gold_window_stats_sliding"] = lambda s, d: gold_windows.conv_window_stats_sliding(
         _silver(s, d)
     )
@@ -441,9 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "gold_window_stats_hour": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, grain="hour"
         ),
-        "gold_window_stats_day": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
-            path=path, grain="day"
-        ),
+        "doc_topk_per_source": dg.DOC_TOPK_PER_SOURCE_ORACLE_SQL,
         "gold_window_stats_sliding": gold_windows.SLIDING_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, slide_s=900, length_s=3600, n_overlap=4
         ),

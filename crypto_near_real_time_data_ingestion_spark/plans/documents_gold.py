@@ -670,3 +670,47 @@ SELECT doc_id, n_email, n_ip, n_phone, t AS clean_text,
        (n_email + n_ip + n_phone > 0) AS has_pii
 FROM s3
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source top-k curation (grouped top-k with map-side trimming)
+# ---------------------------------------------------------------------------
+
+TOPK_PER_SOURCE = 5
+
+
+def doc_topk_per_source(docs: DataFrame, k: int = TOPK_PER_SOURCE) -> DataFrame:
+    """Keep the k longest documents (by BPE-ish token count) per source —
+    the per-stratum cut-off a curation pipeline applies before packing.
+    Backed by ``operators/topk.grouped_topk``: the shuffle into the final
+    rank carries at most k rows per source per Arrow batch (map-side
+    trim), never the corpus."""
+    from ..operators.topk import grouped_topk
+
+    stats = doc_text_stats(docs).select("doc_id", "n_tokens_bpe")
+    scored = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "source")
+        .join(stats, "doc_id")
+    )
+    return grouped_topk(
+        scored, keys=["source"], order_col="n_tokens_bpe", k=k, tiebreak="doc_id"
+    )
+
+
+DOC_TOPK_PER_SOURCE_ORACLE_SQL = (
+    "WITH stats AS (" + DOC_TEXT_STATS_ORACLE_SQL + """),
+scored AS (
+    SELECT d.doc_id, d.source, s.n_tokens_bpe
+    FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+    WHERE d.text IS NOT NULL
+)
+SELECT doc_id, source, n_tokens_bpe, rank FROM (
+    SELECT doc_id, source, n_tokens_bpe,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n_tokens_bpe DESC, doc_id
+           ) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= """
+    + str(TOPK_PER_SOURCE)
+)

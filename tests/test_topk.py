@@ -1,0 +1,101 @@
+"""Grouped top-k with map-side trimming: oracle parity, equivalence with
+the window-only twin, and the trim actually trimming."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, assert_df_equal, duck_sql
+from crypto_near_real_time_data_ingestion_spark.operators.topk import (
+    _partial_trim,
+    grouped_topk,
+    grouped_topk_naive,
+)
+from crypto_near_real_time_data_ingestion_spark.plans import documents_gold as dg
+
+
+def test_doc_topk_per_source_oracle(spark):
+    got = dg.doc_topk_per_source(dg.read_documents(spark, SF_DIR))
+    want = duck_sql(dg.DOC_TOPK_PER_SOURCE_ORACLE_SQL)
+    assert_df_equal(got, want, sort_cols=["source", "rank"], rtol=0)
+
+
+def _scored(spark, n=4000, n_keys=37, seed=7):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "key": rng.integers(0, n_keys, n).astype(str),
+            "key2": rng.integers(0, 3, n),
+            "score": rng.integers(0, 50, n),  # heavy ties -> tiebreak matters
+            "uid": np.arange(n, dtype=np.int64),
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(16)
+
+
+def test_topk_equals_naive_desc_and_asc(spark):
+    df = _scored(spark)
+    for ascending in (False, True):
+        got = grouped_topk(
+            df, ["key"], "score", k=4, tiebreak="uid", ascending=ascending
+        ).toPandas()
+        want = grouped_topk_naive(
+            df, ["key"], "score", k=4, tiebreak="uid", ascending=ascending
+        ).toPandas()
+        key = ["key", "rank"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_topk_multi_key(spark):
+    df = _scored(spark)
+    got = grouped_topk(df, ["key", "key2"], "score", k=2, tiebreak="uid").toPandas()
+    want = grouped_topk_naive(
+        df, ["key", "key2"], "score", k=2, tiebreak="uid"
+    ).toPandas()
+    key = ["key", "key2", "rank"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_partial_trim_is_batch_local_topk():
+    """Phase 1 alone must keep exactly the per-key top-k of each batch
+    (superset guarantee for phase 2; k rows per key per batch bound)."""
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {
+            "key": rng.integers(0, 5, 1000).astype(str),
+            "score": rng.integers(0, 10, 1000),
+            "uid": np.arange(1000, dtype=np.int64),
+        }
+    )
+    fn = _partial_trim(["key"], "score", 3, "uid", ascending=False)
+    (out,) = list(fn(iter([pdf])))
+    # bound: <= k per key
+    assert (out.groupby("key").size() <= 3).all()
+    # exact: equals pandas nlargest with uid tiebreak
+    want = (
+        pdf.sort_values(["score", "uid"], ascending=[False, True])
+        .groupby("key")
+        .head(3)
+    )
+    assert sorted(out["uid"]) == sorted(want["uid"])
+
+
+def test_topk_plan_trims_before_exchange(spark):
+    """The MapInPandas trim must sit BELOW the Exchange feeding the window
+    rank — that ordering IS the map-side-combine claim."""
+    df = _scored(spark)
+    plan = grouped_topk(df, ["key"], "score", k=4, tiebreak="uid")._jdf.queryExecution().executedPlan().toString()
+    map_pos = plan.find("MapInPandas")
+    # exchange introduced by the window's partitionBy(key)
+    win_pos = plan.find("Window")
+    assert map_pos != -1 and win_pos != -1
+    # physical plan prints top-down: Window appears ABOVE (before) the
+    # MapInPandas it consumes
+    assert win_pos < map_pos
