@@ -119,7 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (test_entry_contract), doc_langid
     (test_documents_ops; also inside the graded curation/stratified
     oracles), emb_cosine_topk_exprs (the O(n²) expression twin of the
-    graded GEMM path — test_documents_ops)."""
+    graded GEMM path — test_documents_ops), gold_user_response_pairs
+    (same oracle template as the graded streaming_pairs; batch join
+    pytest-graded in test_gold_plans)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def _silver(spark, sf_dir):
@@ -192,9 +194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _silver(s, d), "week"
     )
     q["gold_sessions_30m"] = lambda s, d: sessions_op.sessionize_batch(_silver(s, d))
-    q["gold_user_response_pairs"] = lambda s, d: joins_op.user_response_pairs(
-        _silver(s, d)
-    )
+    # (gold_user_response_pairs retired round 3 to make window room: the
+    # same oracle template stays driver-graded via streaming_pairs, and the
+    # batch join stays pytest-graded in test_gold_plans.py)
     # the secondary-sort mapInPandas formulation (round 2's rewrite —
     # beats the Catalyst-window twin ~4s vs 16.5s at sf0.1); the Catalyst
     # twin stays bit-equal in test_rolling_vectorized
@@ -225,6 +227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CEP R{k,} in streaming form (stateful run detector) — same oracle
     # as the batch gap-and-island plan
     q["streaming_role_runs"] = lambda s, d: _run_streaming(s, d, "role_runs")
+    # streaming as-of join (latest tool call <= each turn's event time,
+    # keyed state + watermark-ordered matching) vs DuckDB's native ASOF
+    # LEFT JOIN over the pre-uniqued right side
+    q["streaming_asof"] = lambda s, d: _run_streaming(s, d, "tool_asof")
     # second stateful backend (Spark 4 transformWithStateInPandas) run
     # end-to-end — gated on the protobuf runtime (present here via the
     # documented SDK shim); its own drain so an environment failure
@@ -318,7 +324,7 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # all streaming entries share ONE drain of the arrival-ordered stream:
-# a single rate-controlled source feed with ten independently-
+# a single rate-controlled source feed with eleven independently-
 # checkpointed queries running concurrently — the reference's
 # sequential-DAG analog as one continuous pipeline (and 10× cheaper than
 # per-query drains in the driver's verify/bench loop). Results are
@@ -327,14 +333,14 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unlike id(spark) which CPython can recycle after GC).
 _STREAM_QUERIES = (
     "silver", "gold_hour", "gold_hour_rank", "gold_day", "gold_sliding",
-    "sessions", "pairs", "features", "unanswered", "role_runs",
+    "sessions", "pairs", "features", "unanswered", "role_runs", "tool_asof",
 )
 _stream_cache: dict[tuple, object] = {}
 
 
 def _flushed_src(sf: float) -> str:
     """Flushed copy of the arrival-ordered stream source, SHARED by the
-    10-query drain and the TWS drain (built once per sf, outside any
+    11-query drain and the TWS drain (built once per sf, outside any
     drain's work dir so neither drain's cleanup removes it)."""
     from crypto_near_real_time_data_ingestion_spark.datagen.flush import (
         build_flushed_source,
@@ -356,7 +362,7 @@ def _sql_view_ohlc_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the transformWithState backend in ITS OWN pipeline (separate
-    work dir/checkpoints from the shared 10-query drain, but REUSING that
+    work dir/checkpoints from the shared 11-query drain, but REUSING that
     drain's flushed source copy) and return the causal feature columns —
     same oracle as streaming_conv_features. maxFilesPerTrigger=8 halves
     the batch count vs the shared drain's 4: the TWS state-server
@@ -390,7 +396,7 @@ def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def drain_streams(spark: SparkSession, sf_dir: str) -> object:
-    """Run (once per session+sf, cached) the shared 10-query streaming
+    """Run (once per session+sf, cached) the shared 11-query streaming
     drain and return its handles. Exposed so bench.py can time the drain
     as its own line item (``streaming_drain_total``) instead of billing
     the full cost to whichever streaming query happens to run first."""
@@ -457,7 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "gold_sessions_30m": sessions_op.SESSIONS_ORACLE_SQL_TEMPLATE.format(
             path=path, gap_s=1800
         ),
-        "gold_user_response_pairs": joins_op.PAIRS_ORACLE_SQL_TEMPLATE.format(path=path),
+        "streaming_asof": asof_op.TOOL_ASOF_ORACLE_SQL_TEMPLATE.format(path=path),
         "gold_conv_features_arrow": gold_features.CONV_FEATURES_ORACLE_SQL_TEMPLATE.format(
             path=path, gap_s=1800
         ),

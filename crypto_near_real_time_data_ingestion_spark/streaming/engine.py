@@ -19,6 +19,8 @@ Queries:
               (stream-stream anti), timeout-emitted → MERGE
   role_runs   CEP R{k,} pattern: stateful run detector, runs emitted on
               definitive closure (role change / eviction flush) → MERGE
+  tool_asof   streaming as-of join: latest tool call ≤ each turn's ts
+              (keyed state, watermark-ordered matching) → MERGE
   features    silver-stream → per-conv stateful rolling features → MERGE
   features_tws  same semantics on the Spark 4 transformWithState API
                 (typed state variables + event-time timers, RocksDB)
@@ -244,6 +246,19 @@ def start_pipeline(
         h.queries["features_tws"] = _start(
             conv_features_stream_tws(cleansed),
             sink, "features_tws", ckpt("features_tws"), "append", available_now,
+            trigger_interval,
+        )
+
+    if "tool_asof" in queries:
+        from ..functions.cleansing import cleanse_turns
+        from .stateful_asof import tool_asof_stream
+
+        cleansed = cleanse_turns(src()).withWatermark("ts", watermark)
+        sink = ParquetMergeSink(table("tool_asof"), ["conv_id", "turn_idx"], None)
+        h.sinks["tool_asof"] = sink
+        h.queries["tool_asof"] = _start(
+            tool_asof_stream(cleansed),
+            sink, "tool_asof", ckpt("tool_asof"), "append", available_now,
             trigger_interval,
         )
 

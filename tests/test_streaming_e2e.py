@@ -40,7 +40,10 @@ def drained(spark, transcripts_parquet, stream_parquet_dir):
         spark,
         fsrc,
         WORK,
-        queries=("silver", "gold_hour", "gold_hour_rank", "sessions", "pairs", "role_runs"),
+        queries=(
+            "silver", "gold_hour", "gold_hour_rank", "sessions", "pairs",
+            "role_runs", "tool_asof",
+        ),
         max_files_per_trigger=2,
     )
     return h
@@ -102,6 +105,22 @@ def test_stream_pairs_equal_batch(spark, transcripts_parquet, drained):
         silver_batch(read_transcripts(spark, transcripts_parquet))
     ).toPandas()
     assert_df_equal(got, want, sort_cols=["conv_id", "user_turn_idx"])
+
+
+def test_stream_tool_asof_equals_batch(spark, transcripts_parquet, drained):
+    """Streaming as-of join == batch union-merge twin: every turn carries
+    the latest tool call at or before its event time (ties resolved to
+    the max turn_idx at that timestamp, matching the pre-uniqued right
+    side). The flush sentinel carries no tool, so filtering it cannot
+    change any real turn's match."""
+    from crypto_near_real_time_data_ingestion_spark.operators.asof import turn_tool_asof
+
+    got = _no_flush(drained.sinks["tool_asof"].read(spark))
+    want = turn_tool_asof(
+        silver_batch(read_transcripts(spark, transcripts_parquet))
+    )
+    assert want.filter(F.col("asof_tool_used").isNotNull()).count() > 0
+    assert_df_equal(got, want.toPandas(), sort_cols=["conv_id", "turn_idx"])
 
 
 def test_batch_replay_is_idempotent(spark, drained):
