@@ -73,8 +73,17 @@ def _asof_step(
     pdf_iter: Iterator[pd.DataFrame],
     st: tuple,
     wm_us: int,
-) -> tuple[list[tuple], tuple | None, int | None]:
-    """Pure ingest+match core (same contract as ``stateful._step``)."""
+) -> tuple[pd.DataFrame | None, tuple | None, int | None]:
+    """Pure ingest+match core (same contract as ``stateful._step``).
+
+    Fully vectorized: unlike the run detector and the percentile state
+    (whose emission is inherently sequential per key), the as-of match
+    over a (ts, turn_idx)-sorted batch is a cumulative-max index
+    lookup — the latest tool call visible to a turn at time t is the
+    highest-index tool row at or before t's TS GROUP END (sorted order
+    makes lexicographic (ts, turn_idx) max == positional max), capped
+    against the carried-in latest-tool state.
+    """
     (
         buf_ti, buf_ts, buf_role, buf_tool, emitted_ti,
         tool_us, tool_ti, tool_used, last_ts,
@@ -102,50 +111,66 @@ def _asof_step(
         buf_role.extend(np.asarray(role[sel]).tolist())
         buf_tool.extend(np.asarray(tool[sel]).tolist())
 
-    out: list[tuple] = []
+    out: pd.DataFrame | None = None
     if buf_ti:
-        order = np.lexsort((np.array(buf_ti), np.array(buf_ts)))
-        keep = []
-        i = 0
-        n = len(order)
-        while i < n:
-            j = order[i]
-            t_us = buf_ts[j]
-            if t_us > wm_us:
-                keep.append(j)
-                i += 1
-                continue
-            # ts group [i, g): all emittable turns sharing this timestamp
-            g = i
-            while g < n and buf_ts[order[g]] == t_us:
-                g += 1
-            # 1) tool calls at this ts become visible first (max turn_idx
-            #    wins the within-ts tie — matches the pre-uniqued right)
-            for p in range(i, g):
-                q = order[p]
-                if buf_tool[q] and (t_us > tool_us or buf_ti[q] > tool_ti):
-                    tool_us, tool_ti, tool_used = t_us, buf_ti[q], buf_tool[q]
-            # 2) every turn at this ts emits against the updated latest
-            for p in range(i, g):
-                q = order[p]
-                emitted_set.add(buf_ti[q])
-                last_ts = t_us
-                out.append(
-                    (
-                        conv_id,
-                        buf_ti[q],
-                        t_us,
-                        buf_role[q],
-                        tool_us if tool_us >= 0 else None,
-                        tool_ti if tool_us >= 0 else None,
-                        tool_used if tool_us >= 0 else None,
-                    )
-                )
-            i = g
-        buf_ti = [buf_ti[j] for j in keep]
-        buf_ts = [buf_ts[j] for j in keep]
-        buf_role = [buf_role[j] for j in keep]
-        buf_tool = [buf_tool[j] for j in keep]
+        ti_a = np.asarray(buf_ti, dtype=np.int64)
+        ts_a = np.asarray(buf_ts, dtype=np.int64)
+        role_a = np.asarray(buf_role, dtype=object)
+        tool_a = np.asarray(buf_tool, dtype=object)
+        order = np.lexsort((ti_a, ts_a))
+        ti_a, ts_a = ti_a[order], ts_a[order]
+        role_a, tool_a = role_a[order], tool_a[order]
+        # sorted by ts → the emittable rows are exactly the prefix
+        n_emit = int(np.searchsorted(ts_a, wm_us, side="right"))
+        if n_emit:
+            e_ti, e_ts = ti_a[:n_emit], ts_a[:n_emit]
+            e_role, e_tool = role_a[:n_emit], tool_a[:n_emit]
+            has_tool = e_tool != ""
+            # highest-index tool row at or before each position
+            tool_pos = np.where(has_tool, np.arange(n_emit), -1)
+            cummax = np.maximum.accumulate(tool_pos)
+            # a turn sees every tool in its own ts group (<= semantics):
+            # look up the cummax at the group END, not at the row itself
+            grp_end = np.searchsorted(e_ts, e_ts, side="right") - 1
+            vis = cummax[grp_end]
+            visc = np.clip(vis, 0, None)
+            bts, bti = e_ts[visc], e_ti[visc]
+            # batch candidate vs carried-in latest: lexicographic (ts, ti)
+            batch_wins = (vis >= 0) & (
+                (bts > tool_us) | ((bts == tool_us) & (bti > tool_ti))
+            )
+            a_ts = np.where(batch_wins, bts, tool_us)
+            a_ti = np.where(batch_wins, bti, tool_ti)
+            a_used = np.where(batch_wins, e_tool[visc], tool_used)
+            none_mask = a_ts < 0
+            out = pd.DataFrame(
+                {
+                    "conv_id": np.repeat(conv_id, n_emit),
+                    "turn_idx": e_ti,
+                    "ts": pd.to_datetime(e_ts, unit="us"),
+                    "role": e_role,
+                    "asof_ts": pd.to_datetime(np.where(none_mask, 0, a_ts), unit="us"),
+                    "asof_tool_turn_idx": a_ti.astype(object),
+                    "asof_tool_used": a_used,
+                }
+            )
+            if none_mask.any():
+                out.loc[none_mask, "asof_ts"] = None
+                out.loc[none_mask, "asof_tool_turn_idx"] = None
+                out.loc[none_mask, "asof_tool_used"] = None
+            # carry the overall latest tool forward (last tool row wins)
+            lt = int(cummax[-1])
+            if lt >= 0:
+                c = (int(e_ts[lt]), int(e_ti[lt]))
+                if c > (tool_us, tool_ti):
+                    tool_us, tool_ti = c
+                    tool_used = str(e_tool[lt])
+            last_ts = int(e_ts[-1])
+            emitted_set.update(e_ti.tolist())
+        buf_ti = ti_a[n_emit:].tolist()
+        buf_ts = ts_a[n_emit:].tolist()
+        buf_role = role_a[n_emit:].tolist()
+        buf_tool = tool_a[n_emit:].tolist()
 
     if buf_ti:
         new_state = (
@@ -166,13 +191,6 @@ def _asof_step(
     return out, None, None
 
 
-def _rows_to_pdf(rows: list[tuple]) -> pd.DataFrame:
-    out = pd.DataFrame(rows, columns=[f.name for f in ASOF_OUTPUT_SCHEMA.fields])
-    out["ts"] = pd.to_datetime(out["ts"], unit="us")
-    out["asof_ts"] = pd.to_datetime(out["asof_ts"], unit="us")
-    return out
-
-
 def tool_asof_stream(silver_stream: DataFrame) -> DataFrame:
     """Apply the streaming as-of operator to a cleansed, watermarked
     stream (NOT deduped upstream — dedup happens in-state)."""
@@ -187,8 +205,8 @@ def tool_asof_stream(silver_stream: DataFrame) -> DataFrame:
             state.setTimeoutTimestamp(timer)
         elif state.exists:
             state.remove()
-        if out:
-            yield _rows_to_pdf(out)
+        if out is not None and len(out):
+            yield out
 
     return silver_stream.groupBy("conv_id").applyInPandasWithState(
         fn,

@@ -13,6 +13,10 @@ guard that registration stays inside the graded window:
   sql_view_gold_hour              | test_entry_contract.py
   doc_langid                      | test_documents_ops.py
   emb_cosine_topk_exprs           | test_documents_ops.py
+  gold_window_stats_day           | test_gold_plans.py (streaming form
+                                  |   stays driver-graded: streaming_gold_day)
+  gold_user_response_pairs        | test_gold_plans.py (streaming form
+                                  |   stays driver-graded: streaming_pairs)
   gold_window_stats_month         | HERE
 """
 
