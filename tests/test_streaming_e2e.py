@@ -207,9 +207,9 @@ def test_resume_stateful_from_checkpoint(spark, transcripts_parquet, stream_parq
     shutil.rmtree(work, ignore_errors=True)
     fsrc = build_flushed_source(stream_parquet_dir, os.path.join(work, "source"))
 
-    # phase 1: a prefix only (1 file per trigger), then stop both queries
+    # phase 1: a prefix only (1 file per trigger), then stop all three
     h1 = start_pipeline(
-        spark, fsrc, work, queries=("features", "role_runs"),
+        spark, fsrc, work, queries=("features", "role_runs", "tool_asof"),
         max_files_per_trigger=1, trigger_interval="1 seconds",
     )
     import time
@@ -224,9 +224,9 @@ def test_resume_stateful_from_checkpoint(spark, transcripts_parquet, stream_parq
         q.awaitTermination(60)
     assert len(h1.sinks["features"].committed_batches()) >= 2
 
-    # phase 2: restart BOTH from their checkpoints, drain to completion
+    # phase 2: restart ALL from their checkpoints, drain to completion
     h2 = run_pipeline_to_completion(
-        spark, fsrc, work, queries=("features", "role_runs"),
+        spark, fsrc, work, queries=("features", "role_runs", "tool_asof"),
         max_files_per_trigger=1,
     )
     silver = silver_batch(read_transcripts(spark, transcripts_parquet))
@@ -239,3 +239,9 @@ def test_resume_stateful_from_checkpoint(spark, transcripts_parquet, stream_parq
     assert_df_equal(
         got_r, want_r.toPandas(), sort_cols=["conv_id", "run_start_turn"]
     )
+
+    from crypto_near_real_time_data_ingestion_spark.operators.asof import turn_tool_asof
+
+    got_a = _no_flush(h2.sinks["tool_asof"].read(spark))
+    want_a = turn_tool_asof(silver)
+    assert_df_equal(got_a, want_a.toPandas(), sort_cols=["conv_id", "turn_idx"])
