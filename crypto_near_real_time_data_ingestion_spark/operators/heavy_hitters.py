@@ -61,6 +61,13 @@ _SUMMARY_SCHEMA = T.StructType(
 
 _SENTINEL = "\x00__mg_bookkeeping__"
 
+# k for the streaming form's graded config: at or above the corpus
+# vocabulary, no MG trim ever fires, so the merged summary is the EXACT
+# token count (decrement 0) and the driver can value-grade it against a
+# plain GROUP BY oracle. The trimming (approximate) regime is covered by
+# the pytest bound contracts with small k.
+STREAM_EXACT_K = 1 << 16
+
 
 def _mg_trim(summary: pd.Series, k: int) -> tuple[pd.Series, int]:
     """Bulk Misra-Gries decrement: subtract the (k+1)-th largest count,
@@ -128,6 +135,28 @@ def token_heavy_hitters(
     )
 
 
+def mg_batch_summary(
+    df: DataFrame, text_col: str = "text", k: int = 256, pattern: str = WORD_RE
+) -> DataFrame:
+    """One merged MG summary for a single (micro-)batch: the per-partition
+    partials merged by pointwise addition — ≤ partitions·k token rows plus
+    the bookkeeping sentinel rows carrying the partials' decrements.
+
+    This is the unit the STREAMING form writes per micro-batch delta
+    (``streaming/engine.py`` query ``heavy_hitters``): summaries are
+    mergeable (Agarwal et al., PODS 2012), so the sink's read view sums
+    deltas pointwise and the per-batch decrements add into the global
+    certified bound. With k at or above the batch vocabulary size no trim
+    ever fires, every decrement is zero, and the merged result is the
+    EXACT token count — the regime the driver oracle grades; pytest
+    covers the trimming regime's bounds."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(text_col)
+        .mapInPandas(_mg_partial(text_col, k, pattern), _SUMMARY_SCHEMA)
+    )
+
+
 def token_counts_exact(
     docs: DataFrame, text_col: str = "text", pattern: str = WORD_RE
 ) -> DataFrame:
@@ -142,3 +171,27 @@ def token_counts_exact(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
     )
+
+
+# silver CTE matches the other transcript oracles (any-wins dedup); the
+# graded streaming config (k = STREAM_EXACT_K >= vocabulary) never trims,
+# so the merged summary equals the exact GROUP BY and max_undercount = 0
+STREAM_HH_ORACLE_SQL_TEMPLATE = """
+WITH cleansed AS (
+    SELECT CAST(conv_id AS VARCHAR) AS conv_id,
+           CAST(turn_idx AS INTEGER) AS turn_idx, text
+    FROM read_parquet('{path}')
+    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND turn_idx >= 0
+      AND role IS NOT NULL AND ts IS NOT NULL
+),
+silver AS (
+    SELECT conv_id, turn_idx, min(text) AS text
+    FROM cleansed GROUP BY conv_id, turn_idx
+),
+toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+    FROM silver WHERE text IS NOT NULL
+)
+SELECT token, count(*) AS count, CAST(0 AS BIGINT) AS max_undercount
+FROM toks GROUP BY token
+"""

@@ -21,6 +21,9 @@ Queries:
               definitive closure (role change / eviction flush) → MERGE
   tool_asof   streaming as-of join: latest tool call ≤ each turn's ts
               (keyed state, watermark-ordered matching) → MERGE
+  heavy_hitters  streaming sketch maintenance: per-batch Misra-Gries
+              token summaries → additive sink (pointwise merge; the
+              commit log makes the non-idempotent merge exactly-once)
   features    silver-stream → per-conv stateful rolling features → MERGE
   features_tws  same semantics on the Spark 4 transformWithState API
                 (typed state variables + event-time timers, RocksDB)
@@ -260,6 +263,29 @@ def start_pipeline(
             tool_asof_stream(cleansed),
             sink, "tool_asof", ckpt("tool_asof"), "append", available_now,
             trigger_interval,
+        )
+
+    if "heavy_hitters" in queries:
+        from pyspark.sql import functions as F
+
+        from ..datagen.flush import FLUSH_CONV_ID
+        from ..operators.heavy_hitters import STREAM_EXACT_K, mg_batch_summary
+        from .sinks import AdditiveSummarySink
+
+        # streaming sketch maintenance: one Misra-Gries summary delta per
+        # micro-batch over the DEDUPED turn stream, merged pointwise by
+        # the additive sink's read view. Control/sentinel rows must be
+        # excluded at WRITE time — an additive sink cannot un-count at
+        # read time what a flush row contributed at write time.
+        sink = AdditiveSummarySink(table("heavy_hitters"))
+        h.sinks["heavy_hitters"] = sink
+        h.queries["heavy_hitters"] = _start(
+            silver_stream(src(), watermark),
+            sink, "heavy_hitters", ckpt("heavy_hitters"), "append",
+            available_now, trigger_interval,
+            transform=lambda bdf: mg_batch_summary(
+                bdf.filter(F.col("conv_id") != FLUSH_CONV_ID), k=STREAM_EXACT_K
+            ),
         )
 
     if "pairs" in queries:

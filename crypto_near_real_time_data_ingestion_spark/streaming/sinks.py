@@ -145,3 +145,41 @@ class ParquetMergeSink:
             with open(os.path.join(self.manifests_dir, f)) as fh:
                 out.append(json.load(fh))
         return out
+
+
+class AdditiveSummarySink(ParquetMergeSink):
+    """Mergeable-SKETCH sink: per-batch deltas are Misra-Gries token
+    summaries (``operators/heavy_hitters.mg_batch_summary``) and the read
+    view merges them by POINTWISE ADDITION per token — not keyed
+    latest-wins. An additive merge is NOT idempotent under replay (a
+    re-applied batch would double-count), so the batch-id commit log is
+    what makes the running count exactly-once; this sink exists to
+    demonstrate exactly that contract for sketch maintenance.
+
+    State is bounded: each delta holds ≤ partitions·k token rows + the
+    decrement bookkeeping sentinels; the merged view reports every
+    surviving token with its certified bound
+    (true count ∈ [count, count + max_undercount])."""
+
+    def __init__(self, table_dir: str):
+        super().__init__(table_dir, keys=["token"], event_time_col=None)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from ..operators.heavy_hitters import _SENTINEL
+
+        batches = self.committed_batches()
+        if not batches:
+            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
+        paths = [os.path.join(self.data_dir, f"batch-{b:08d}") for b in batches]
+        df = spark.read.parquet(*paths)
+        merged = df.groupBy("token").agg(
+            F.sum("count").alias("count"), F.sum("decrement").alias("dec")
+        )
+        bound = merged.agg(
+            F.coalesce(F.sum("dec"), F.lit(0)).alias("max_undercount")
+        )
+        return (
+            merged.filter(F.col("token") != F.lit(_SENTINEL))
+            .select("token", "count")
+            .crossJoin(F.broadcast(bound))
+        )

@@ -88,21 +88,23 @@ def _runs_step(
     buf_ti, buf_ts, buf_role = list(buf_ti), list(buf_ts), list(buf_role)
     emitted_set = set(emitted_ti)
 
+    # vectorized ingest (np.unique first-occurrence + isin vs known set —
+    # same shape as stateful.py / stateful_asof.py)
+    emitted_arr = np.fromiter(emitted_set, dtype=np.int64, count=len(emitted_set))
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
         ti = pdf["turn_idx"].to_numpy()
         ts = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         role = pdf["role"].to_numpy()
-        buffered = set(buf_ti)
-        for i in range(len(ti)):
-            t = int(ti[i])
-            if t in emitted_set or t in buffered:
-                continue
-            buffered.add(t)
-            buf_ti.append(t)
-            buf_ts.append(int(ts[i]))
-            buf_role.append(str(role[i]))
+        known = emitted_arr
+        if buf_ti:
+            known = np.concatenate([known, np.asarray(buf_ti, dtype=np.int64)])
+        uniq, first_idx = np.unique(ti, return_index=True)
+        sel = first_idx[~np.isin(uniq, known)]
+        buf_ti.extend(np.asarray(ti[sel]).tolist())
+        buf_ts.extend(np.asarray(ts[sel]).tolist())
+        buf_role.extend(np.asarray(role[sel]).tolist())
 
     out: list[tuple] = []
 
@@ -111,26 +113,53 @@ def _runs_step(
             out.append((conv_id, r_start, r_end, r_len, r_start_us, r_end_us))
 
     if buf_ti:
-        order = np.lexsort((np.array(buf_ti), np.array(buf_ts)))
-        keep_ti, keep_ts, keep_role = [], [], []
-        for j in order:
-            t_us = buf_ts[j]
-            if t_us > wm_us:
-                keep_ti.append(buf_ti[j])
-                keep_ts.append(buf_ts[j])
-                keep_role.append(buf_role[j])
-                continue
-            role = buf_role[j]
-            if role == r_role:
-                r_end, r_len, r_end_us = buf_ti[j], r_len + 1, t_us
-            else:
-                close_run()  # definitively closed: a later-ordered turn broke it
-                r_role, r_len = role, 1
-                r_start = r_end = buf_ti[j]
-                r_start_us = r_end_us = t_us
-            last_ts = t_us
-            emitted_set.add(buf_ti[j])
-        buf_ti, buf_ts, buf_role = keep_ti, keep_ts, keep_role
+        ti_a = np.asarray(buf_ti, dtype=np.int64)
+        ts_a = np.asarray(buf_ts, dtype=np.int64)
+        role_a = np.asarray(buf_role, dtype=object)
+        order = np.lexsort((ti_a, ts_a))
+        ti_a, ts_a, role_a = ti_a[order], ts_a[order], role_a[order]
+        # sorted by ts → the emittable rows are exactly the prefix
+        n_emit = int(np.searchsorted(ts_a, wm_us, side="right"))
+        if n_emit:
+            e_ti, e_ts = ti_a[:n_emit], ts_a[:n_emit]
+            e_role = role_a[:n_emit]
+            # gap-and-islands, vectorized: segment starts at role changes
+            change = (np.flatnonzero(e_role[1:] != e_role[:-1]) + 1).astype(np.int64)
+            starts = np.concatenate([np.zeros(1, np.int64), change])
+            ends = np.concatenate([change, np.full(1, n_emit, np.int64)])  # exclusive
+            seg_role = e_role[starts]
+            seg_len = (ends - starts).astype(np.int64)
+            seg_start_ti, seg_end_ti = e_ti[starts], e_ti[ends - 1]
+            seg_start_us, seg_end_us = e_ts[starts], e_ts[ends - 1]
+            if r_role and seg_role[0] == r_role:
+                # carry-in open run continues into segment 0
+                seg_len[0] += r_len
+                seg_start_ti[0], seg_start_us[0] = r_start, r_start_us
+            elif r_role:
+                close_run()  # definitively closed: segment 0 broke it
+            # every segment but the last is closed (a different-role turn
+            # follows it in watermark order); the last becomes the open run
+            n_seg = len(seg_role)
+            closed = np.flatnonzero(
+                (seg_role[: n_seg - 1] == target_role)
+                & (seg_len[: n_seg - 1] >= min_run)
+            )
+            out.extend(
+                (
+                    conv_id,
+                    int(seg_start_ti[i]), int(seg_end_ti[i]), int(seg_len[i]),
+                    int(seg_start_us[i]), int(seg_end_us[i]),
+                )
+                for i in closed  # per closed RUN, not per turn
+            )
+            r_role, r_len = str(seg_role[-1]), int(seg_len[-1])
+            r_start, r_end = int(seg_start_ti[-1]), int(seg_end_ti[-1])
+            r_start_us, r_end_us = int(seg_start_us[-1]), int(seg_end_us[-1])
+            last_ts = int(e_ts[-1])
+            emitted_set.update(e_ti.tolist())
+        buf_ti = ti_a[n_emit:].tolist()
+        buf_ts = ts_a[n_emit:].tolist()
+        buf_role = role_a[n_emit:].tolist()
 
     if buf_ti:
         new_state = (

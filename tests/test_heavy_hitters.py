@@ -76,3 +76,58 @@ def test_mg_trim_unit():
     # no-op when already small
     trimmed2, dec2 = _mg_trim(s, k=5)
     assert dec2 == 0 and trimmed2.equals(s)
+
+
+def test_additive_sink_merge_and_replay(spark, tmp_path):
+    """The streaming sink's pointwise merge sums per-batch summaries, and
+    the commit log makes the NON-idempotent additive merge exactly-once:
+    replaying a committed batch id must not double-count."""
+    from crypto_near_real_time_data_ingestion_spark.operators.heavy_hitters import (
+        mg_batch_summary,
+    )
+    from crypto_near_real_time_data_ingestion_spark.streaming.sinks import (
+        AdditiveSummarySink,
+    )
+
+    sink = AdditiveSummarySink(str(tmp_path / "hh"))
+    docs1 = spark.createDataFrame([("a b a",), ("b c",)], ["text"])
+    docs2 = spark.createDataFrame([("a",)], ["text"])
+    sink.process_batch(mg_batch_summary(docs1, k=1024), 0)
+    sink.process_batch(mg_batch_summary(docs2, k=1024), 1)
+    sink.process_batch(mg_batch_summary(docs2, k=1024), 1)  # replay → no-op
+    rows = sink.read(spark).collect()
+    assert {r["token"]: r["count"] for r in rows} == {"a": 3, "b": 2, "c": 1}
+    assert all(r["max_undercount"] == 0 for r in rows)
+
+
+def test_additive_sink_trimming_regime_bounds(spark, tmp_path):
+    """Small k across several merged batch deltas: the summed decrements
+    still certify [count, count + max_undercount] for every survivor, and
+    every token with true count > max_undercount survives (mergeable-
+    summaries guarantee across the sink's pointwise addition)."""
+    from crypto_near_real_time_data_ingestion_spark.operators.heavy_hitters import (
+        mg_batch_summary,
+    )
+    from crypto_near_real_time_data_ingestion_spark.streaming.sinks import (
+        AdditiveSummarySink,
+    )
+
+    docs = dg.read_documents(spark, SF_DIR).limit(200).cache()
+    exact = {
+        r["token"]: r["count"] for r in token_counts_exact(docs).collect()
+    }
+    sink = AdditiveSummarySink(str(tmp_path / "hh_trim"))
+    # three deltas over disjoint slices (simulating three micro-batches)
+    parts = docs.randomSplit([1.0, 1.0, 1.0], seed=7)
+    for i, p in enumerate(parts):
+        sink.process_batch(mg_batch_summary(p, k=8), i)
+    rows = sink.read(spark).collect()
+    assert rows
+    bound = rows[0]["max_undercount"]
+    assert bound > 0  # k=8 genuinely trims on this corpus
+    got = {r["token"]: r["count"] for r in rows}
+    for tok, cnt in got.items():
+        assert cnt <= exact[tok] <= cnt + bound, tok
+    for tok, true_cnt in exact.items():
+        if true_cnt > bound:
+            assert tok in got, f"guaranteed survivor {tok} missing"

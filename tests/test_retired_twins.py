@@ -18,6 +18,8 @@ guard that registration stays inside the graded window:
   gold_user_response_pairs        | test_gold_plans.py (streaming form
                                   |   stays driver-graded: streaming_pairs)
   gold_window_stats_month         | HERE
+  gold_window_stats_sliding       | HERE (streaming form stays
+                                  |   driver-graded: streaming_gold_sliding)
 """
 
 from __future__ import annotations
@@ -61,3 +63,16 @@ def test_registration_stays_inside_graded_window():
         "media_features", "media_metadata", "streaming_rank",
     ):
         assert names.index(must_be_early) < 10
+
+
+def test_sliding_grain_oracle(spark, transcripts_parquet):
+    """Sliding-window batch path (same oracle template as the graded
+    streaming_gold_sliding twin)."""
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    got = gold_windows.conv_window_stats_sliding(silver)
+    want = duckdb.sql(
+        gold_windows.SLIDING_STATS_ORACLE_SQL_TEMPLATE.format(
+            path=transcripts_parquet, slide_s=900, length_s=3600, n_overlap=4
+        )
+    ).df()
+    assert_df_equal(got, want, sort_cols=["conv_id", "window_start"])

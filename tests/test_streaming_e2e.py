@@ -42,7 +42,7 @@ def drained(spark, transcripts_parquet, stream_parquet_dir):
         WORK,
         queries=(
             "silver", "gold_hour", "gold_hour_rank", "sessions", "pairs",
-            "role_runs", "tool_asof",
+            "role_runs", "tool_asof", "heavy_hitters",
         ),
         max_files_per_trigger=2,
     )
@@ -121,6 +121,24 @@ def test_stream_tool_asof_equals_batch(spark, transcripts_parquet, drained):
     )
     assert want.filter(F.col("asof_tool_used").isNotNull()).count() > 0
     assert_df_equal(got, want.toPandas(), sort_cols=["conv_id", "turn_idx"])
+
+
+def test_stream_heavy_hitters_exact_regime(spark, transcripts_parquet, drained):
+    """Streaming sketch maintenance in the exact regime: with k at or
+    above the vocabulary no Misra-Gries trim fires, so the additive
+    sink's pointwise merge of per-batch summaries equals the exact token
+    count over the deduped stream (flush sentinel excluded at write —
+    an additive sink cannot un-count at read)."""
+    from crypto_near_real_time_data_ingestion_spark.operators.heavy_hitters import (
+        token_counts_exact,
+    )
+
+    got = drained.sinks["heavy_hitters"].read(spark)
+    assert got.agg(F.max("max_undercount")).collect()[0][0] == 0
+    want = token_counts_exact(
+        silver_batch(read_transcripts(spark, transcripts_parquet))
+    )
+    assert_df_equal(got.select("token", "count"), want.toPandas(), sort_cols=["token"])
 
 
 def test_batch_replay_is_idempotent(spark, drained):
