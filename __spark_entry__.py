@@ -53,6 +53,7 @@ from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import (  # noqa: E402
     documents_gold as dg,
 )
+from crypto_near_real_time_data_ingestion_spark.plans import enrich as enrich_plan  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import events_gold as eg  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import gold_features  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import gold_windows  # noqa: E402
@@ -184,14 +185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- medallion pipeline over transcripts (SURVEY §2: P11-P16, W1-W4,
     # A3-A5, J2, streaming-analog batch oracles) ----------------------------
     q["silver_cleanse_dedup"] = _silver
-    q["gold_window_stats_hour"] = lambda s, d: gold_windows.conv_window_stats(
-        _silver(s, d), "hour"
-    )
-    # (gold_window_stats_day and gold_window_stats_sliding retired round 3
-    # to make window room: each grain's exact oracle output stays
-    # driver-graded via its streaming twin — streaming_gold_day /
-    # streaming_gold_sliding — and the batch paths are pytest-graded in
-    # test_gold_plans.py / test_retired_twins.py)
+    # (gold_window_stats_hour/day/sliding retired round 3 to make window
+    # room: each grain's exact oracle output stays driver-graded via its
+    # streaming twin — streaming_gold_hour/day/sliding — and the batch
+    # paths are pytest-graded in test_gold_plans.py / test_retired_twins.py)
     # calendar grain (reference OHLC g=week, gold_ohlc_h_d_w_m.py:53; the
     # month grain shares the date_trunc path — pytest-graded twin)
     q["gold_window_stats_week"] = lambda s, d: gold_windows.conv_window_stats_trunc(
@@ -242,6 +239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # merged summary IS the exact token count (plain GROUP BY oracle);
     # the trimming regime's certified bounds are pytest-contracted.
     q["streaming_heavy_hitters"] = lambda s, d: _run_streaming(s, d, "heavy_hitters")
+    # stream-static broadcast enrichment (J1's streaming analog): the
+    # static role dimension joins into the watermarked stream, the
+    # windowed aggregate groups on the dimension's column, and the oracle
+    # inlines the dimension as VALUES
+    q["streaming_enriched_hour"] = lambda s, d: _run_streaming(s, d, "enriched_hour")
     # second stateful backend (Spark 4 transformWithStateInPandas) run
     # end-to-end — gated on the protobuf runtime (present here via the
     # documented SDK shim); its own drain so an environment failure
@@ -335,7 +337,7 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # all streaming entries share ONE drain of the arrival-ordered stream:
-# a single rate-controlled source feed with twelve independently-
+# a single rate-controlled source feed with thirteen independently-
 # checkpointed queries running concurrently — the reference's
 # sequential-DAG analog as one continuous pipeline (and 10× cheaper than
 # per-query drains in the driver's verify/bench loop). Results are
@@ -345,14 +347,14 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_QUERIES = (
     "silver", "gold_hour", "gold_hour_rank", "gold_day", "gold_sliding",
     "sessions", "pairs", "features", "unanswered", "role_runs", "tool_asof",
-    "heavy_hitters",
+    "heavy_hitters", "enriched_hour",
 )
 _stream_cache: dict[tuple, object] = {}
 
 
 def _flushed_src(sf: float) -> str:
     """Flushed copy of the arrival-ordered stream source, SHARED by the
-    12-query drain and the TWS drain (built once per sf, outside any
+    13-query drain and the TWS drain (built once per sf, outside any
     drain's work dir so neither drain's cleanup removes it)."""
     from crypto_near_real_time_data_ingestion_spark.datagen.flush import (
         build_flushed_source,
@@ -374,7 +376,7 @@ def _sql_view_ohlc_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the transformWithState backend in ITS OWN pipeline (separate
-    work dir/checkpoints from the shared 12-query drain, but REUSING that
+    work dir/checkpoints from the shared 13-query drain, but REUSING that
     drain's flushed source copy) and return the causal feature columns —
     same oracle as streaming_conv_features. maxFilesPerTrigger=8 halves
     the batch count vs the shared drain's 4: the TWS state-server
@@ -408,7 +410,7 @@ def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def drain_streams(spark: SparkSession, sf_dir: str) -> object:
-    """Run (once per session+sf, cached) the shared 12-query streaming
+    """Run (once per session+sf, cached) the shared 13-query streaming
     drain and return its handles. Exposed so bench.py can time the drain
     as its own line item (``streaming_drain_total``) instead of billing
     the full cost to whichever streaming query happens to run first."""
@@ -470,8 +472,8 @@ def oracle_sql() -> dict[str, str]:
     path = _tpath(_ORACLE_SF)
     return {
         "silver_cleanse_dedup": silver_plan.SILVER_ORACLE_SQL_TEMPLATE.format(path=path),
-        "gold_window_stats_hour": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
-            path=path, grain="hour"
+        "streaming_enriched_hour": enrich_plan.ENRICHED_ORACLE_SQL_TEMPLATE.format(
+            path=path
         ),
         "doc_topk_per_source": dg.DOC_TOPK_PER_SOURCE_ORACLE_SQL,
         "streaming_heavy_hitters": hh_op.STREAM_HH_ORACLE_SQL_TEMPLATE.format(

@@ -24,6 +24,8 @@ Queries:
   heavy_hitters  streaming sketch maintenance: per-batch Misra-Gries
               token summaries → additive sink (pointwise merge; the
               commit log makes the non-idempotent merge exactly-once)
+  enriched_hour  stream-static broadcast join (role dimension) feeding
+              a per-(window, role_group) aggregate → MERGE
   features    silver-stream → per-conv stateful rolling features → MERGE
   features_tws  same semantics on the Spark 4 transformWithState API
                 (typed state variables + event-time timers, RocksDB)
@@ -263,6 +265,34 @@ def start_pipeline(
             tool_asof_stream(cleansed),
             sink, "tool_asof", ckpt("tool_asof"), "append", available_now,
             trigger_interval,
+        )
+
+    if "enriched_hour" in queries:
+        from pyspark.sql import functions as F
+
+        from ..datagen.flush import FLUSH_CONV_ID
+        from ..plans.enrich import enriched_role_stats_stream
+
+        # stream-static broadcast enrichment (J1's streaming analog): the
+        # tiny role dimension is broadcast into every micro-batch, then a
+        # normal watermark-driven windowed aggregate groups on the
+        # DIMENSION's column. The flush sentinel is excluded write-side:
+        # the aggregate drops conv_id, so the read view could not filter
+        # it (the filter sits after the watermark node, which still sees
+        # the sentinel and advances).
+        sink = ParquetMergeSink(
+            table("enriched_hour"), ["window_start", "role_group"], None
+        )
+        h.sinks["enriched_hour"] = sink
+        h.queries["enriched_hour"] = _start(
+            enriched_role_stats_stream(
+                silver_stream(src(), watermark).filter(
+                    F.col("conv_id") != FLUSH_CONV_ID
+                ),
+                spark,
+            ),
+            sink, "enriched_hour", ckpt("enriched_hour"), "append",
+            available_now, trigger_interval,
         )
 
     if "heavy_hitters" in queries:

@@ -42,7 +42,7 @@ def drained(spark, transcripts_parquet, stream_parquet_dir):
         WORK,
         queries=(
             "silver", "gold_hour", "gold_hour_rank", "sessions", "pairs",
-            "role_runs", "tool_asof", "heavy_hitters",
+            "role_runs", "tool_asof", "heavy_hitters", "enriched_hour",
         ),
         max_files_per_trigger=2,
     )
@@ -121,6 +121,25 @@ def test_stream_tool_asof_equals_batch(spark, transcripts_parquet, drained):
     )
     assert want.filter(F.col("asof_tool_used").isNotNull()).count() > 0
     assert_df_equal(got, want.toPandas(), sort_cols=["conv_id", "turn_idx"])
+
+
+def test_stream_enriched_equals_batch(spark, transcripts_parquet, drained):
+    """Stream-static broadcast enrichment == the batch twin: the static
+    role dimension joins into every micro-batch, and the per-(window,
+    role_group) aggregate — grouped on the DIMENSION's column — matches
+    the batch plan exactly. Flush is excluded write-side (the aggregate
+    drops conv_id, so the read view could not filter it)."""
+    from crypto_near_real_time_data_ingestion_spark.plans.enrich import (
+        enriched_role_stats,
+    )
+
+    got = drained.sinks["enriched_hour"].read(spark)
+    want = enriched_role_stats(
+        silver_batch(read_transcripts(spark, transcripts_parquet)), spark
+    )
+    assert_df_equal(
+        got, want.toPandas(), sort_cols=["window_start", "role_group"]
+    )
 
 
 def test_stream_heavy_hitters_exact_regime(spark, transcripts_parquet, drained):
