@@ -210,3 +210,21 @@ def test_dataset_assembly_plan_shapes(spark):
     pack_plan = _plan(dg.doc_pack_sequences(docs)).split("== Initial Plan ==")[0]
     assert pack_plan.count("Exchange hashpartitioning") == 1, pack_plan[:400]
     assert "Python" not in pack_plan
+
+
+def test_enriched_stream_static_broadcast(spark, transcripts_parquet):
+    """The stream-static enrichment's dimension join must broadcast (J1
+    streaming analog) — asserted on the batch twin, which shares the
+    join plan with the streaming form."""
+    from crypto_near_real_time_data_ingestion_spark.plans.enrich import (
+        enriched_role_stats,
+    )
+    from crypto_near_real_time_data_ingestion_spark.plans.silver import silver_batch
+    from crypto_near_real_time_data_ingestion_spark.sources import read_transcripts
+
+    plan = _plan(
+        enriched_role_stats(
+            silver_batch(read_transcripts(spark, transcripts_parquet)), spark
+        )
+    )
+    assert "BroadcastHashJoin" in plan, "role dimension must broadcast"
