@@ -1,0 +1,201 @@
+"""Property tests for the pure stateful-operator cores.
+
+The streaming as-of join and the CEP run detector are driven end-to-end
+by the e2e suite over one fixed corpus; these tests pin their SEMANTICS
+under hypothesis-generated adversarial inputs — arbitrary arrival
+orders, batch partitions, watermark schedules, timestamp ties, and
+duplicate deliveries — against brute-force reference implementations.
+
+The generated schedules respect the Spark watermark contract the
+operators are written against: a row never arrives after the watermark
+has passed its event time (Spark's stateful machinery guarantees this
+for the micro-batches the functions see; within-watermark LATE arrival,
+i.e. out of event-time order, is generated freely).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crypto_near_real_time_data_ingestion_spark.streaming.stateful_asof import (
+    _EMPTY as ASOF_EMPTY,
+)
+from crypto_near_real_time_data_ingestion_spark.streaming.stateful_asof import (
+    CLOSE_GAP_S,
+    _asof_step,
+)
+from crypto_near_real_time_data_ingestion_spark.streaming.stateful_runs import (
+    _EMPTY as RUNS_EMPTY,
+)
+from crypto_near_real_time_data_ingestion_spark.streaming.stateful_runs import (
+    _runs_step,
+)
+
+US = 1_000_000
+FAR = 10**15  # watermark "infinity": flushes every buffer and eviction timer
+
+
+# rows: (turn_idx, ts_us, role, tool) — ts drawn from a tiny set to force
+# same-timestamp groups; tool non-empty on a subset of assistant turns
+@st.composite
+def _turn_history(draw):
+    n = draw(st.integers(min_value=1, max_value=28))
+    rows = []
+    for ti in range(n):
+        ts = draw(st.sampled_from([1, 2, 3, 5, 8, 13])) * US
+        role = draw(st.sampled_from(["user", "assistant", "tool"]))
+        tool = draw(st.sampled_from(["", "", "search", "calc"]))
+        rows.append((ti, ts, role, tool))
+    # arrival order: any permutation (event-time disorder is the point)
+    order = draw(st.permutations(range(n)))
+    # duplicate deliveries of a few rows (exact dupes, like a source replay)
+    dup_of = draw(
+        st.lists(st.integers(min_value=0, max_value=n - 1), max_size=4)
+    )
+    arrival = [rows[i] for i in order] + [rows[i] for i in dup_of]
+    # partition the arrival sequence into 1-4 batches
+    n_batches = draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(arrival)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(arrival)]:
+        batches.append(arrival[prev:c])
+        prev = c
+    return rows, batches
+
+
+def _wm_schedule(batches):
+    """Monotonic watermarks honoring the contract: after batch i, the
+    watermark stays strictly below every event time still to arrive."""
+    wms, wm_prev = [], -1
+    for i in range(len(batches)):
+        future = [ts for b in batches[i + 1 :] for (_, ts, _, _) in b]
+        wm = min(future) - 1 if future else FAR
+        wm = max(wm, wm_prev)  # watermarks never regress
+        wms.append(wm)
+        wm_prev = wm
+    return wms
+
+
+def _pdf(batch):
+    d = pd.DataFrame(batch, columns=["turn_idx", "ts", "role", "tool"])
+    d["tool"] = d["tool"].replace("", None)
+    d["ts"] = pd.to_datetime(d["ts"], unit="us")
+    return d
+
+
+def _drive_asof(batches):
+    # None mirrors "no state row exists": Spark then skips the group on
+    # an input-less micro-batch and hands the fn _EMPTY otherwise.
+    st_ = None
+    out = []
+    for batch, wm in zip(batches, _wm_schedule(batches)):
+        if st_ is None and not batch:
+            continue
+        o, st_, _ = _asof_step(
+            "c", iter([_pdf(batch)]), st_ if st_ is not None else ASOF_EMPTY, wm
+        )
+        if o is not None:
+            out.append(o)
+    if st_ is not None:  # final flush + eviction
+        o, st_, _ = _asof_step("c", iter([]), st_, FAR + 2 * CLOSE_GAP_S * US)
+        if o is not None:
+            out.append(o)
+        assert st_ is None, "state must evict once the watermark passes"
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+
+def _brute_asof(rows):
+    """Reference: each turn gets the lexicographically-latest (ts, ti)
+    tool row with ts <= its own ts (same-ts tools visible, max ti wins)."""
+    want = []
+    for ti, ts, role, _ in rows:
+        cand = [(t, i) for (i, t, _, tl) in rows if tl and t <= ts]
+        if cand:
+            bt, bi = max(cand)
+            tool = next(tl for (i, t, _, tl) in rows if i == bi and t == bt)
+            want.append((ti, ts, role, bt, bi, tool))
+        else:
+            want.append((ti, ts, role, None, None, None))
+    return sorted(want)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_turn_history())
+def test_asof_core_matches_brute_force(case):
+    rows, batches = case
+    got_pdf = _drive_asof(batches)
+    got = sorted(
+        (
+            int(r.turn_idx),
+            int(r.ts.value // 1000),  # ns → µs
+            r.role,
+            None if pd.isna(r.asof_ts) else int(r.asof_ts.value // 1000),
+            None if r.asof_tool_turn_idx is None else int(r.asof_tool_turn_idx),
+            r.asof_tool_used,
+        )
+        for r in got_pdf.itertuples()
+    )
+    assert got == _brute_asof(rows)
+    # exactly-once: every turn emitted exactly once despite dup deliveries
+    assert len(got) == len(rows)
+
+
+def _drive_runs(batches, target="user", min_run=2):
+    st_ = None
+    out = []
+    for batch, wm in zip(batches, _wm_schedule(batches)):
+        if st_ is None and not batch:
+            continue
+        o, st_, _ = _runs_step(
+            "c",
+            iter([_pdf(batch)]),
+            st_ if st_ is not None else RUNS_EMPTY,
+            wm,
+            target,
+            min_run,
+        )
+        out.extend(o)
+    if st_ is not None:
+        o, st_, _ = _runs_step(
+            "c", iter([]), st_, FAR + 2 * CLOSE_GAP_S * US, target, min_run
+        )
+        out.extend(o)
+        assert st_ is None
+    return sorted(out)
+
+
+def _brute_runs(rows, target="user", min_run=2):
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))  # (ts, ti)
+    runs, cur = [], []
+    for r in ordered:
+        if cur and r[2] == cur[-1][2]:
+            cur.append(r)
+        else:
+            if cur:
+                runs.append(cur)
+            cur = [r]
+    if cur:
+        runs.append(cur)
+    return sorted(
+        ("c", seg[0][0], seg[-1][0], len(seg), seg[0][1], seg[-1][1])
+        for seg in runs
+        if seg[0][2] == target and len(seg) >= min_run
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(_turn_history())
+def test_runs_core_matches_brute_force(case):
+    rows, batches = case
+    assert _drive_runs(batches) == _brute_runs(rows)
