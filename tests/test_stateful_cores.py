@@ -27,6 +27,10 @@ from crypto_near_real_time_data_ingestion_spark.streaming.stateful_asof import (
     CLOSE_GAP_S,
     _asof_step,
 )
+from crypto_near_real_time_data_ingestion_spark.streaming.stateful import (
+    _EMPTY as FEAT_EMPTY,
+)
+from crypto_near_real_time_data_ingestion_spark.streaming.stateful import _step
 from crypto_near_real_time_data_ingestion_spark.streaming.stateful_runs import (
     _EMPTY as RUNS_EMPTY,
 )
@@ -199,3 +203,91 @@ def _brute_runs(rows, target="user", min_run=2):
 def test_runs_core_matches_brute_force(case):
     rows, batches = case
     assert _drive_runs(batches) == _brute_runs(rows)
+
+
+# --- conv-features core (stateful._step): scale timestamps to minutes so
+# the 10-minute rolling window actually trims, and use a 3-minute session
+# gap so sessionization actually splits, under the same adversarial
+# arrival schedules.
+
+FEAT_GAP_S = 180
+MIN_SCALE = 60  # seconds → minutes
+
+
+def _scaled(case):
+    rows, batches = case
+    s = lambda r: (r[0], r[1] * MIN_SCALE, r[2], r[3])  # noqa: E731
+    return [s(r) for r in rows], [[s(r) for r in b] for b in batches]
+
+
+def _nn(v):
+    return None if (isinstance(v, float) and np.isnan(v)) else v
+
+
+def _drive_features(batches):
+    st_ = None
+    rows_out = []
+    for batch, wm in zip(batches, _wm_schedule(batches)):
+        if st_ is None and not batch:
+            continue
+        o, st_, _ = _step(
+            "c",
+            iter([_pdf(batch)]),
+            st_ if st_ is not None else FEAT_EMPTY,
+            wm,
+            FEAT_GAP_S,
+        )
+        rows_out.extend(o)
+    if st_ is not None:
+        o, st_, _ = _step("c", iter([]), st_, FAR, FEAT_GAP_S)
+        rows_out.extend(o)
+        assert st_ is None, "state must evict once the watermark passes"
+    return sorted(
+        (ti, ts, c, mti, rate, _nn(p50), _nn(p95), _nn(p99), roll, sid, ss)
+        for (_c, ti, ts, c, mti, rate, p50, p95, p99, roll, sid, ss) in rows_out
+    )
+
+
+def _brute_features(rows):
+    """Reference: causal expanding features over the (ts, turn_idx)-ordered
+    unique turns; percentiles re-derived by a FULL SORT each row (checks
+    the core's incremental sorted-insert path), same weighted-sum
+    interpolation arithmetic as Spark `percentile`."""
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    out, gaps, ets = [], [], []
+    tools, max_ti, last, sid, sstart = 0, -1, None, 0, None
+    for k, (ti, ts, _role, tool) in enumerate(ordered, 1):
+        if last is None:
+            sid, sstart = 1, ts
+        else:
+            g = float(ts - last)
+            gaps.append(g)
+            if g >= FEAT_GAP_S * 1e6:
+                sid += 1
+                sstart = ts
+        tools += 1 if tool else 0
+        max_ti = max(max_ti, ti)
+        last = ts
+        ets.append(ts)
+        roll = sum(1 for t in ets if t >= ts - 600_000_000)
+        if gaps:
+            sg = sorted(gaps)
+            ps = []
+            for p in (0.50, 0.95, 0.99):
+                pos = p * (len(sg) - 1)
+                lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+                v = sg[lo] if lo == hi else (hi - pos) * sg[lo] + (pos - lo) * sg[hi]
+                ps.append(v / 1e6)
+        else:
+            ps = [None, None, None]
+        out.append(
+            (ti, ts, k, max_ti, tools / k, ps[0], ps[1], ps[2], roll, sid, sstart)
+        )
+    return sorted(out)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_turn_history())
+def test_features_core_matches_brute_force(case):
+    rows, batches = _scaled(case)
+    assert _drive_features(batches) == _brute_features(rows)
