@@ -378,11 +378,14 @@ def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the transformWithState backend in ITS OWN pipeline (separate
     work dir/checkpoints from the shared 13-query drain, but REUSING that
     drain's flushed source copy) and return the causal feature columns —
-    same oracle as streaming_conv_features. maxFilesPerTrigger=8 halves
-    the batch count vs the shared drain's 4: the TWS state-server
-    round-trips (per key per batch over the pure-python protobuf shim)
-    are this drain's fixed cost, and watermark-faithful results are
-    batch-granularity-independent (the oracle proves it)."""
+    same oracle as streaming_conv_features. maxFilesPerTrigger is sized
+    to the source's data-file count so the drain runs the MINIMAL two
+    micro-batches (all data, then the sentinel flush file, whose mtime
+    the builder sets last): the TWS state-server round-trips (per key
+    per batch over the pure-python protobuf shim) are this drain's fixed
+    cost, and watermark-faithful results are batch-granularity-
+    independent (the oracle proves it)."""
+    import glob
     import shutil
 
     from pyspark.sql import functions as F
@@ -397,11 +400,12 @@ def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _stream_cache.get(key)
     if h is None:
         fsrc = _flushed_src(sf)
+        n_data = len(glob.glob(os.path.join(fsrc, "part-*.parquet")))
         work = f"/tmp/spark_graft_entry_stream_tws_{sf}"
         shutil.rmtree(work, ignore_errors=True)
         h = run_pipeline_to_completion(
             spark, fsrc, work, queries=("features_tws",),
-            max_files_per_trigger=8, shuffle_partitions=8,
+            max_files_per_trigger=max(1, n_data), shuffle_partitions=8,
         )
         _stream_cache[key] = h
     return h.sinks["features_tws"].read(spark).filter(

@@ -27,6 +27,20 @@ State size is O(turns per conversation) — the gap array backs exact
 percentiles. Conversations are length-bounded in this domain; for
 unbounded keys swap the array for a mergeable quantile sketch (KLL /
 t-digest) at the cost of exactness, and the rest of the state stays O(1).
+
+Eviction contract: a conversation's aggregates are dropped once the
+watermark passes ``last activity + 2*gap_s`` (state must be bounded —
+keys are never "done" in an endless stream). A turn arriving after that
+horizon (possible: the GLOBAL watermark is driven by other keys, and an
+above-watermark event time can sit arbitrarily far ahead of it) REVIVES
+the conversation with fresh lifetime aggregates — the same revival
+semantics Spark's own ``session_window`` state has. Batch-plan
+equivalence therefore holds for turns arriving within the eviction
+horizon; the property test's watermark schedules
+(``tests/test_stateful_cores.py::_wm_schedule``) span exactly the
+schedules a real Spark watermark (max observed event time - delay) can
+produce, under which the horizon cannot be crossed while a key's rows
+are still in flight in the single-key case.
 All computation inside the operator is numpy-vectorized over Arrow
 batches (no per-row Python in the hot path).
 
