@@ -190,12 +190,12 @@ def _batch_queries(spark) -> dict[str, float]:
     # cost and streaming_drain_total carries the drain itself
     t0 = time.time()
     entrymod.drain_streams(spark, SF_DIR)
-    timings["streaming_drain_total"] = round(time.time() - t0, 3)
+    timings["streaming_drain_total"] = round(time.time() - t0, 2)
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(time.time() - t0, 2)
     return timings
 
 
@@ -258,7 +258,12 @@ def main() -> None:
             "p99_batch_latency_s_small_batches": res_lat["p99_batch_latency_s"],
         },
     }
-    print(json.dumps(result))
+    # COMPACT separators: the round driver captures only the LAST 2000
+    # chars of stdout and parses the JSON line out of that tail — round
+    # 2's default-formatted line exceeded the window and the driver
+    # recorded "parsed": null. Tight separators + 2-decimal query
+    # timings keep the line comfortably inside the capture window.
+    print(json.dumps(result, separators=(",", ":")))
     spark.stop()
 
 
