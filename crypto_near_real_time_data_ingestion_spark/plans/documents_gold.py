@@ -714,3 +714,222 @@ SELECT doc_id, source, n_tokens_bpe, rank FROM (
 ) WHERE rank <= """
     + str(TOPK_PER_SOURCE)
 )
+
+
+# ---------------------------------------------------------------------------
+# decontamination: eval-set n-gram overlap (broadcast semi-join)
+# ---------------------------------------------------------------------------
+
+DECONTAM_EVAL_BYTE_MIN = 240   # md5-byte >= 240 -> "benchmark" holdout (~6%)
+DECONTAM_THRESHOLD = 0.2
+
+
+def doc_decontaminate(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = DECONTAM_THRESHOLD,
+    eval_byte_min: int = DECONTAM_EVAL_BYTE_MIN,
+) -> DataFrame:
+    """Training-set decontamination: per train document, the fraction of
+    its distinct word ``n``-gram shingles that also occur anywhere in the
+    eval/benchmark holdout; docs at or above ``threshold`` are flagged
+    ``contaminated`` (the published-pipeline recipe: n-gram collision
+    against the benchmark suite, as in the GPT-3 / Llama decontamination
+    appendices). The holdout here is the deterministic md5-byte slice of
+    the corpus (same keyed-hash trick as ``doc_split_assign``), which on
+    this corpus makes the flag catch exactly the planted near-duplicates
+    that leak across the train/eval split.
+
+    100 TB shape: a benchmark suite is MBs, so its distinct-shingle
+    dictionary is broadcast (map-side hash semi-join against every train
+    shingle — no shuffle of the corpus); the only exchange is the partial
+    per-doc overlap count keyed by doc_id. Reference parity: the hash
+    expressions family (SURVEY §2.2 P25) applied to the dataset-assembly
+    pipeline."""
+    sh = doc_shingles(docs, n).withColumn("hb", _md5_byte(F.col("doc_id")))
+    eval_grams = (
+        sh.filter(F.col("hb") >= eval_byte_min)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    train = sh.filter(F.col("hb") < eval_byte_min)
+    sizes = train.select("doc_id", F.size("shingles").cast("long").alias("n_shingles"))
+    matched = (
+        train.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(eval_grams), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+    frac = F.when(
+        F.col("n_shingles") > 0, n_ov / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return (
+        sizes.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_ov.alias("n_overlap"),
+            frac.alias("overlap_frac"),
+            (frac >= threshold).alias("contaminated"),
+        )
+    )
+
+
+DOC_DECONTAM_ORACLE_SQL_TEMPLATE = """
+WITH l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks,
+           CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+              AS INTEGER) AS hb
+    FROM documents WHERE text IS NOT NULL
+),
+g AS (
+    SELECT doc_id, hb, list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - 2, 0)),
+        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+    FROM l
+),
+ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE hb >= {eval_byte_min}),
+tr AS (SELECT doc_id, sh FROM g WHERE hb < {eval_byte_min}),
+x AS (SELECT doc_id, unnest(sh) AS s FROM tr),
+ov AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+       FROM x JOIN ev ON x.s = ev.s GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.sh) AS BIGINT) AS n_shingles,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CASE WHEN len(t.sh) > 0
+            THEN CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / len(t.sh)
+            ELSE 0.0 END AS overlap_frac,
+       (CASE WHEN len(t.sh) > 0
+             THEN CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / len(t.sh)
+             ELSE 0.0 END) >= {threshold} AS contaminated
+FROM tr t LEFT JOIN ov o ON t.doc_id = o.doc_id
+"""
+
+
+def doc_decontam_oracle_sql(
+    threshold: float = DECONTAM_THRESHOLD,
+    eval_byte_min: int = DECONTAM_EVAL_BYTE_MIN,
+) -> str:
+    return DOC_DECONTAM_ORACLE_SQL_TEMPLATE.format(
+        threshold=threshold, eval_byte_min=eval_byte_min
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition stats: Gopher-style quality signals, map-only
+# ---------------------------------------------------------------------------
+
+def doc_repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-rule repetition signals per document: duplicate-unigram
+    fraction, top-2-gram fraction (share of bigram positions taken by the
+    single most frequent bigram), and duplicate-2-gram fraction (share of
+    bigram positions whose bigram occurs more than once).
+
+    100 TB shape: a document's n-grams never leave its row — the bigram
+    mode is computed by ``array_sort`` + a run-length fold
+    (``F.aggregate`` with a (prev, run, best, dup) accumulator), so the
+    whole operator is one map-only whole-stage-codegen pass with ZERO
+    exchanges (plan-asserted), unlike the explode→groupBy(doc, gram)
+    formulation whose shuffle carries every gram occurrence in the
+    corpus. The fold runs over the SORTED array, where "max frequency"
+    becomes "longest run of equal neighbours"."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
+    idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    g2 = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    d = d.select("doc_id", "toks", F.array_sort(g2).alias("g2"))
+
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    # sentinel: every real gram is two space-joined [a-z0-9]+ tokens (length
+    # >= 3, never a lone space), so " " can never equal a gram
+    init = F.struct(
+        F.lit(" ").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("dup"),
+    )
+
+    def _step(acc, g):
+        same = g == acc["prev"]
+        closed_dup = acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(zero)
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + one).otherwise(one).alias("run"),
+            F.when(same, acc["best"])
+            .otherwise(F.greatest(acc["best"], acc["run"]))
+            .alias("best"),
+            F.when(same, acc["dup"]).otherwise(closed_dup).alias("dup"),
+        )
+
+    def _finish(acc):
+        return F.struct(
+            F.greatest(acc["best"], acc["run"]).alias("top"),
+            (acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(zero)).alias(
+                "dup"
+            ),
+        )
+
+    st = F.aggregate("g2", init, _step, _finish)
+    n_tok = F.size("toks").cast("long")
+    n_2g = F.size("g2").cast("long")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+        F.when(n_tok > 0, F.lit(1.0) - F.size(F.array_distinct("toks")) / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        n_2g.alias("n_2grams"),
+        st["top"].alias("top_2gram_count"),
+        F.when(n_2g > 0, st["top"] / n_2g).otherwise(F.lit(0.0)).alias(
+            "top_2gram_frac"
+        ),
+        F.when(n_2g > 0, st["dup"] / n_2g).otherwise(F.lit(0.0)).alias(
+            "dup_2gram_frac"
+        ),
+    )
+
+
+DOC_REPETITION_ORACLE_SQL = """
+WITH l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+g AS (
+    SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+           list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS g2
+    FROM l
+),
+e AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY 1, 2),
+s AS (SELECT doc_id, max(cnt) AS top_cnt,
+             sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_pos,
+             sum(cnt) AS total
+      FROM c GROUP BY 1)
+SELECT g.doc_id,
+       CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       CAST(g.n_distinct AS BIGINT) AS n_distinct_tokens,
+       CASE WHEN g.n_tokens > 0
+            THEN 1.0 - CAST(g.n_distinct AS DOUBLE) / g.n_tokens
+            ELSE 0.0 END AS dup_token_frac,
+       CAST(len(g.g2) AS BIGINT) AS n_2grams,
+       CAST(coalesce(s.top_cnt, 0) AS BIGINT) AS top_2gram_count,
+       CASE WHEN len(g.g2) > 0
+            THEN CAST(coalesce(s.top_cnt, 0) AS DOUBLE) / len(g.g2)
+            ELSE 0.0 END AS top_2gram_frac,
+       CASE WHEN len(g.g2) > 0
+            THEN CAST(coalesce(s.dup_pos, 0) AS DOUBLE) / len(g.g2)
+            ELSE 0.0 END AS dup_2gram_frac
+FROM g LEFT JOIN s ON g.doc_id = s.doc_id
+"""
