@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # parquet physical layout (reference: snappy, dynamic overwrite)
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT64 micros, not legacy INT96: INT96 carries NO footer min/max
+        # stats, which would blind both parquet predicate pushdown on
+        # timestamps and the sink manifests' event-time envelopes (the
+        # data-skipping index for read_time_range)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # streaming
         .config("spark.sql.streaming.schemaInference", "false")

@@ -67,6 +67,15 @@ class PipelineHandles:
             if q.isActive:
                 q.stop()
 
+    def compact_all(self, spark) -> dict[str, dict]:
+        """Sink maintenance between runs: fold every sink's delta pile into
+        one snapshot (``ParquetMergeSink.compact``). Call only while the
+        pipeline's queries are stopped — compaction coordinates with the
+        commit log, not with in-flight foreachBatch writers."""
+        if any(q.isActive for q in self.queries.values()):
+            raise RuntimeError("compact_all requires all queries stopped")
+        return {name: s.compact(spark) for name, s in self.sinks.items()}
+
 
 def _start(
     df: DataFrame,
@@ -130,7 +139,7 @@ def start_pipeline(
         )
 
     if "gold_hour" in queries:
-        sink = ParquetMergeSink(table("gold_hour"), ["window_start", "conv_id"], None)
+        sink = ParquetMergeSink(table("gold_hour"), ["window_start", "conv_id"], "window_start")
         h.sinks["gold_hour"] = sink
         h.queries["gold_hour"] = _start(
             conv_window_stats_stream(silver_stream(src(), watermark), "hour"),
@@ -154,7 +163,7 @@ def start_pipeline(
         )
 
     if "gold_day" in queries:
-        sink = ParquetMergeSink(table("gold_day"), ["window_start", "conv_id"], None)
+        sink = ParquetMergeSink(table("gold_day"), ["window_start", "conv_id"], "window_start")
         h.sinks["gold_day"] = sink
         h.queries["gold_day"] = _start(
             conv_window_stats_stream(silver_stream(src(), watermark), "day"),
@@ -164,7 +173,7 @@ def start_pipeline(
     if "gold_sliding" in queries:
         from ..plans.gold_windows import conv_window_stats_sliding_stream
 
-        sink = ParquetMergeSink(table("gold_sliding"), ["window_start", "conv_id"], None)
+        sink = ParquetMergeSink(table("gold_sliding"), ["window_start", "conv_id"], "window_start")
         h.sinks["gold_sliding"] = sink
         h.queries["gold_sliding"] = _start(
             conv_window_stats_sliding_stream(silver_stream(src(), watermark)),
@@ -173,7 +182,7 @@ def start_pipeline(
         )
 
     if "sessions" in queries:
-        sink = ParquetMergeSink(table("sessions"), ["conv_id", "window_start"], None)
+        sink = ParquetMergeSink(table("sessions"), ["conv_id", "window_start"], "window_start")
         h.sinks["sessions"] = sink
         h.queries["sessions"] = _start(
             sessionize_stream(silver_stream(src(), watermark), 1800),

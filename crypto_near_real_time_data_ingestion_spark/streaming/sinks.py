@@ -50,7 +50,12 @@ class ParquetMergeSink:
         return os.path.join(self.commits_dir, f"batch-{batch_id:08d}.json")
 
     def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._commit_marker(batch_id))
+        """A batch is committed if its marker exists OR it has been folded
+        into a compaction snapshot (replay of a compacted-away id must
+        stay a no-op after the commit log is garbage-collected)."""
+        return batch_id <= self.compacted_through() or os.path.exists(
+            self._commit_marker(batch_id)
+        )
 
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
         """The ``foreachBatch`` handler. Idempotent: replaying a committed
@@ -116,34 +121,214 @@ class ParquetMergeSink:
     def foreach_batch_handler(self):
         return lambda df, bid: self.process_batch(df, bid)
 
-    # -- read path ----------------------------------------------------------
+    # -- compaction ---------------------------------------------------------
+    #
+    # The write layout is LSM-ish (immutable per-batch deltas); without
+    # maintenance the delta pile grows with stream lifetime and the read
+    # view's latest-wins window pays one input row per key VERSION ever
+    # written — unbounded read amplification on a 10^12-turn stream. This
+    # is the Iceberg rewrite-data-files / snapshot-expiration analog (and
+    # the reference's small-file roll-up strategy,
+    # bronze_silver_gold_partitions.md:163-167): fold everything committed
+    # so far into ONE snapshot, atomically advance a "compacted-through"
+    # marker, then drop the dead deltas. Correctness contract:
+    #   * the merged read view is IDENTICAL before and after (tested);
+    #   * replay of a compacted-away batch id is a no-op (is_committed
+    #     answers True for ids <= the marker — the commit log's
+    #     exactly-once guarantee survives its own garbage collection);
+    #   * the marker rename is the commit point: a crash mid-compaction
+    #     leaves either the old state (orphan snapshot dir, ignored) or
+    #     the new one (stale deltas filtered by id until cleaned up).
 
-    def committed_batches(self) -> list[int]:
-        return sorted(
-            int(f[len("batch-") : -len(".json")])
-            for f in os.listdir(self.commits_dir)
-            if f.startswith("batch-") and f.endswith(".json")
-        )
+    def _compaction_marker(self) -> str:
+        return os.path.join(self.table_dir, "_compaction.json")
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Merged view: latest committed version of every key (upsert)."""
-        batches = self.committed_batches()
-        if not batches:
-            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
-        paths = [os.path.join(self.data_dir, f"batch-{b:08d}") for b in batches]
-        df = spark.read.parquet(*paths)
+    def compacted_through(self) -> int:
+        try:
+            with open(self._compaction_marker()) as f:
+                return int(json.load(f)["through"])
+        except (FileNotFoundError, KeyError, ValueError):
+            return -1
+
+    def _snapshot_path(self, through: int) -> str:
+        return os.path.join(self.data_dir, f"compact-{through:08d}")
+
+    def _live_paths(self) -> list[str]:
+        through = self.compacted_through()
+        paths = [self._snapshot_path(through)] if through >= 0 else []
+        paths += [
+            os.path.join(self.data_dir, f"batch-{b:08d}")
+            for b in self.committed_batches()
+        ]
+        return paths
+
+    def _compact_frame(self, df: DataFrame) -> DataFrame:
+        """Keyed latest-wins fold of the live paths (upsert compaction)."""
         w = Window.partitionBy(*self.keys).orderBy(F.desc("__batch_id"))
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", "__batch_id")
+            .drop("__rn")
         )
+
+    def _gc_stale(self, through: int) -> None:
+        """Remove everything superseded by the marker: delta dirs and
+        commit markers with id <= through, and snapshots older than the
+        current one. Scans the directories (not a remembered delta list),
+        so leftovers from a compaction that crashed between marker rename
+        and cleanup are collected by ANY later pass."""
+        import shutil as _shutil
+
+        for d in os.listdir(self.data_dir):
+            if d.startswith("batch-") and int(d[len("batch-"):]) <= through:
+                _shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
+            elif d.startswith("compact-") and int(d[len("compact-"):]) < through:
+                _shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
+        for f in os.listdir(self.commits_dir):
+            if (
+                f.startswith("batch-")
+                and f.endswith(".json")
+                and int(f[len("batch-") : -len(".json")]) <= through
+            ):
+                try:
+                    os.remove(os.path.join(self.commits_dir, f))
+                except FileNotFoundError:
+                    pass
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Fold every committed delta (and any prior snapshot) into one
+        snapshot at the current high-water batch id. Runs BETWEEN streaming
+        runs (same coordination point as checkpoint-version GC)."""
+        old_through = self.compacted_through()
+        deltas = self.committed_batches()
+        if not deltas:
+            if old_through >= 0:
+                self._gc_stale(old_through)  # finish any interrupted cleanup
+            return {"through": old_through, "compacted_deltas": 0}
+        through = max(deltas)
+        src = self._live_paths()
+        out = self._snapshot_path(through)
+        (
+            self._compact_frame(spark.read.parquet(*src))
+            .withColumn("__batch_id", F.lit(through))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        stats = self._footer_stats(out)
+        # commit point: marker rename makes the snapshot authoritative
+        tmp = self._compaction_marker() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"through": through}, f)
+        os.rename(tmp, self._compaction_marker())
+        # lineage manifest AFTER the commit point — a manifest must never
+        # describe a compaction that did not become authoritative (same
+        # reason process_batch orders data -> manifest -> marker: the
+        # marker's absence hides the whole batch, but a compaction
+        # manifest has no marker of its own to hide behind)
+        with open(
+            os.path.join(self.manifests_dir, f"compact-{through:08d}.json"), "w"
+        ) as f:
+            json.dump(
+                {"compacted_through": through, "path": out, "stats": stats,
+                 "folded_deltas": len(deltas),
+                 "committed_at_unix": time.time()},
+                f, indent=2,
+            )
+        self._gc_stale(through)
+        return {"through": through, "compacted_deltas": len(deltas),
+                "snapshot_rows": stats["rows"]}
+
+    # -- read path ----------------------------------------------------------
+
+    def committed_batches(self) -> list[int]:
+        """Live (un-compacted) committed delta ids. Ids at or below the
+        compaction marker are filtered even if their commit markers still
+        exist (crash between marker rename and cleanup)."""
+        through = self.compacted_through()
+        return sorted(
+            b
+            for f in os.listdir(self.commits_dir)
+            if f.startswith("batch-") and f.endswith(".json")
+            and (b := int(f[len("batch-") : -len(".json")])) > through
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Merged view: latest committed version of every key (upsert)."""
+        paths = self._live_paths()
+        if not paths:
+            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
+        return self._compact_frame(spark.read.parquet(*paths)).drop("__batch_id")
 
     def manifests(self) -> list[dict]:
         out = []
         for f in sorted(os.listdir(self.manifests_dir)):
             with open(os.path.join(self.manifests_dir, f)) as fh:
                 out.append(json.load(fh))
+        return out
+
+    def read_time_range(self, spark: SparkSession, lo, hi) -> DataFrame:
+        """Merged view restricted to event_time in [lo, hi] — with
+        MANIFEST-BASED DATA SKIPPING: a delta whose [min, max] event-time
+        envelope (recorded at commit time from parquet FOOTER stats, no
+        data read) does not overlap the range is never scanned. This is
+        the Iceberg metadata-pruning analog: on a long-lived stream a
+        time-bounded read touches O(deltas-in-range) files, not the pile.
+
+        Exactness precondition (asserted): ``event_time_col`` must be one
+        of ``keys`` — then every version of a key carries the same event
+        time, so skipping an out-of-range delta can never hide the LATEST
+        version of an in-range key. (With a free event-time column, a
+        key's newest out-of-range version could be skipped while an older
+        in-range version survives — scan-then-filter and skip-then-filter
+        would disagree.)"""
+        if self.event_time_col not in self.keys:
+            raise ValueError(
+                "read_time_range requires event_time_col to be a key column "
+                f"({self.event_time_col!r} not in {self.keys}) — see docstring"
+            )
+        import pandas as _pd
+
+        def _ts(x):
+            # footer stats of UTC-adjusted TIMESTAMP_MICROS parse tz-aware;
+            # the session TZ is pinned UTC, so naive == UTC here
+            t = _pd.Timestamp(x)
+            return t.tz_convert("UTC").tz_localize(None) if t.tzinfo else t
+
+        lo_ts, hi_ts = _ts(lo), _ts(hi)
+        mn_k, mx_k = f"min_{self.event_time_col}", f"max_{self.event_time_col}"
+        all_live = self._live_paths()
+        if not all_live:
+            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
+        live = {os.path.basename(p) for p in all_live}
+        paths, skipped = [], 0
+        for m in self.manifests():
+            base = os.path.basename(m["path"])
+            if base not in live:
+                continue  # folded into a snapshot (or superseded snapshot)
+            s = m["stats"]
+            if s.get(mn_k) in (None, "None") or s.get(mx_k) in (None, "None"):
+                paths.append(m["path"])  # no stats → cannot skip, must scan
+                continue
+            if _ts(s[mx_k]) < lo_ts or _ts(s[mn_k]) > hi_ts:
+                skipped += 1
+                continue
+            paths.append(m["path"])
+        c = F.col(self.event_time_col)
+        if not paths:
+            # every live delta is outside the range: empty frame, full schema
+            out = (
+                self._compact_frame(spark.read.parquet(*all_live))
+                .drop("__batch_id")
+                .filter(F.lit(False))
+            )
+            out._skipped_deltas = skipped
+            return out
+        out = (
+            self._compact_frame(spark.read.parquet(*paths))
+            .drop("__batch_id")
+            .filter((c >= F.lit(lo_ts.to_pydatetime())) & (c <= F.lit(hi_ts.to_pydatetime())))
+        )
+        out._skipped_deltas = skipped  # observability hook for tests/metrics
         return out
 
 
@@ -164,16 +349,26 @@ class AdditiveSummarySink(ParquetMergeSink):
     def __init__(self, table_dir: str):
         super().__init__(table_dir, keys=["token"], event_time_col=None)
 
+    def _compact_frame(self, df: DataFrame) -> DataFrame:
+        """Compaction for an ADDITIVE sink is the pointwise sum, not keyed
+        latest-wins — summation is associative, so folding N deltas into
+        one snapshot and later adding newer deltas on top is exact. The
+        sentinel decrement rows fold too, preserving the certified
+        under-count bound."""
+        return df.groupBy("token").agg(
+            F.sum("count").alias("count"), F.sum("decrement").alias("decrement")
+        )
+
     def read(self, spark: SparkSession) -> DataFrame:
         from ..operators.heavy_hitters import _SENTINEL
 
-        batches = self.committed_batches()
-        if not batches:
+        paths = self._live_paths()
+        if not paths:
             raise FileNotFoundError(f"no committed batches in {self.table_dir}")
-        paths = [os.path.join(self.data_dir, f"batch-{b:08d}") for b in batches]
-        df = spark.read.parquet(*paths)
-        merged = df.groupBy("token").agg(
-            F.sum("count").alias("count"), F.sum("decrement").alias("dec")
+        # ONE definition of the additive fold (_compact_frame) serves both
+        # the snapshot writer and this merged view — they cannot drift
+        merged = self._compact_frame(spark.read.parquet(*paths)).withColumnRenamed(
+            "decrement", "dec"
         )
         bound = merged.agg(
             F.coalesce(F.sum("dec"), F.lit(0)).alias("max_undercount")

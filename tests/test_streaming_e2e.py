@@ -282,3 +282,40 @@ def test_resume_stateful_from_checkpoint(spark, transcripts_parquet, stream_parq
     got_a = _no_flush(h2.sinks["tool_asof"].read(spark))
     want_a = turn_tool_asof(silver)
     assert_df_equal(got_a, want_a.toPandas(), sort_cols=["conv_id", "turn_idx"])
+
+
+def test_time_range_read_skips_deltas_on_real_drain(spark, drained):
+    """Manifest-based data skipping on REAL streaming output: the drain's
+    micro-batches close disjoint slices of event time, so a one-hour read
+    prunes whole deltas via their footer-stat envelopes — and the result
+    equals scan-everything-then-filter. (Runs before the compaction test
+    below, which folds this sink's delta pile.)"""
+    sink = drained.sinks["gold_hour"]
+    lo = sink.read(spark).agg(F.min("window_start")).first()[0]
+    got = sink.read_time_range(spark, lo, lo)
+    assert got._skipped_deltas >= 1, "no delta was skippable"
+    want = sink.read(spark).filter(F.col("window_start") == F.lit(lo))
+    assert_df_equal(
+        _no_flush(got).drop("window_start"),
+        _no_flush(want).drop("window_start").toPandas(),
+        sort_cols=["conv_id"],
+    )
+
+
+def test_compaction_on_real_drain_preserves_oracle(spark, transcripts_parquet, drained):
+    """Compact a REAL drained sink (gold_hour: thousands of keys across
+    many micro-batch deltas) and re-assert the batch-oracle equality —
+    the unit contract (test_sink_compaction.py) proven on actual
+    streaming output. NOTE: deliberately LAST in this module — it
+    garbage-collects the shared fixture's gold_hour delta pile (the read
+    view stays identical, but committed_batches() empties)."""
+    sink = drained.sinks["gold_hour"]
+    n_deltas = len(sink.committed_batches())
+    assert n_deltas >= 2  # the drain really produced a delta pile
+    stats = sink.compact(spark)
+    assert stats["compacted_deltas"] == n_deltas
+    got = _no_flush(sink.read(spark))
+    want = conv_window_stats(
+        silver_batch(read_transcripts(spark, transcripts_parquet)), "hour"
+    )
+    assert_df_equal(got, want.toPandas(), sort_cols=["conv_id", "window_start"])
