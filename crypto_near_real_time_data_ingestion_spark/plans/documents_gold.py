@@ -746,7 +746,10 @@ def doc_decontaminate(
     per-doc overlap count keyed by doc_id. Reference parity: the hash
     expressions family (SURVEY §2.2 P25) applied to the dataset-assembly
     pipeline."""
-    sh = doc_shingles(docs, n).withColumn("hb", _md5_byte(F.col("doc_id")))
+    # cache: eval_grams / sizes / matched all fan out from this plan — the
+    # tokenize+shingle pass (the dominant cost) must run once, not three
+    # times (same pattern as doc_ngram_jaccard_pairs)
+    sh = doc_shingles(docs, n).withColumn("hb", _md5_byte(F.col("doc_id"))).cache()
     eval_grams = (
         sh.filter(F.col("hb") >= eval_byte_min)
         .select(F.explode("shingles").alias("s"))

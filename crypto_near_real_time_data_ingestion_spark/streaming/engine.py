@@ -71,10 +71,17 @@ class PipelineHandles:
         """Sink maintenance between runs: fold every sink's delta pile into
         one snapshot (``ParquetMergeSink.compact``). Call only while the
         pipeline's queries are stopped — compaction coordinates with the
-        commit log, not with in-flight foreachBatch writers."""
+        commit log, not with in-flight foreachBatch writers. Sinks without
+        a ``compact`` method (e.g. ``IcebergMergeSink``, whose maintenance
+        is Iceberg's own rewrite_data_files / expire_snapshots) are
+        skipped, preserving the drop-in sink contract."""
         if any(q.isActive for q in self.queries.values()):
             raise RuntimeError("compact_all requires all queries stopped")
-        return {name: s.compact(spark) for name, s in self.sinks.items()}
+        return {
+            name: s.compact(spark)
+            for name, s in self.sinks.items()
+            if callable(getattr(s, "compact", None))
+        }
 
 
 def _start(

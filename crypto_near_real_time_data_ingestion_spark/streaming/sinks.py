@@ -194,6 +194,23 @@ class ParquetMergeSink:
                     os.remove(os.path.join(self.commits_dir, f))
                 except FileNotFoundError:
                     pass
+        # manifests of folded deltas are summarized by the compaction
+        # manifest; without this the metadata dir grows one JSON per batch
+        # ever committed — O(lifetime) file opens for every manifest read
+        for f in os.listdir(self.manifests_dir):
+            if not f.endswith(".json"):
+                continue
+            if f.startswith("batch-") and int(f[len("batch-") : -5]) <= through:
+                dead = True
+            elif f.startswith("compact-") and int(f[len("compact-") : -5]) < through:
+                dead = True
+            else:
+                dead = False
+            if dead:
+                try:
+                    os.remove(os.path.join(self.manifests_dir, f))
+                except FileNotFoundError:
+                    pass
 
     def compact(self, spark: SparkSession) -> dict:
         """Fold every committed delta (and any prior snapshot) into one
@@ -299,25 +316,37 @@ class ParquetMergeSink:
         all_live = self._live_paths()
         if not all_live:
             raise FileNotFoundError(f"no committed batches in {self.table_dir}")
-        live = {os.path.basename(p) for p in all_live}
+        # the LIVE set (marker + commit log) is authoritative; manifests are
+        # only a skipping INDEX keyed by basename. A live path with no
+        # manifest (e.g. crash between marker rename and the compaction
+        # manifest write) is scanned, never dropped — and paths are always
+        # re-rooted under the CURRENT data_dir, not the absolute path the
+        # manifest recorded at write time (tables move: backup/restore,
+        # tmpfs staging)
+        envelopes = {
+            os.path.basename(m["path"]): m["stats"] for m in self.manifests()
+        }
         paths, skipped = [], 0
-        for m in self.manifests():
-            base = os.path.basename(m["path"])
-            if base not in live:
-                continue  # folded into a snapshot (or superseded snapshot)
-            s = m["stats"]
-            if s.get(mn_k) in (None, "None") or s.get(mx_k) in (None, "None"):
-                paths.append(m["path"])  # no stats → cannot skip, must scan
+        for p in all_live:
+            s = envelopes.get(os.path.basename(p))
+            if (
+                s is None
+                or s.get(mn_k) in (None, "None")
+                or s.get(mx_k) in (None, "None")
+            ):
+                paths.append(p)  # no stats → cannot skip, must scan
                 continue
             if _ts(s[mx_k]) < lo_ts or _ts(s[mn_k]) > hi_ts:
                 skipped += 1
                 continue
-            paths.append(m["path"])
+            paths.append(p)
         c = F.col(self.event_time_col)
         if not paths:
-            # every live delta is outside the range: empty frame, full schema
+            # every live delta is outside the range: empty frame with the
+            # full schema, resolved from ONE live path (pruning proved the
+            # rest irrelevant — don't list them just for schema)
             out = (
-                self._compact_frame(spark.read.parquet(*all_live))
+                spark.read.parquet(all_live[0])
                 .drop("__batch_id")
                 .filter(F.lit(False))
             )

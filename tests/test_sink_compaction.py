@@ -235,10 +235,32 @@ def test_compaction_property_random_batches(spark, tmp_path):
     run()
 
 
-def test_compaction_writes_lineage_manifest(spark, tmp_path):
+def test_compaction_writes_lineage_manifest_and_gcs_folded_ones(spark, tmp_path):
     sink = _mk_keyed(spark, tmp_path)
+    assert len(sink.manifests()) == 4  # one per committed batch
     sink.compact(spark)
-    names = [m.get("compacted_through") for m in sink.manifests()]
-    assert 3 in names
-    m = [x for x in sink.manifests() if x.get("compacted_through") == 3][0]
-    assert m["folded_deltas"] == 4 and int(m["stats"]["rows"]) == 4
+    ms = sink.manifests()
+    # folded batch manifests are summarized by the compaction manifest and
+    # GC'd — metadata stays O(live), not O(lifetime batches)
+    assert [m.get("compacted_through") for m in ms] == [3]
+    assert ms[0]["folded_deltas"] == 4 and int(ms[0]["stats"]["rows"]) == 4
+    # post-compaction batches get fresh manifests beside the compact one
+    sink.process_batch(spark.createDataFrame([("z", 9)], "k string, v int"), 4)
+    assert len(sink.manifests()) == 2
+
+
+def test_compact_all_skips_sinks_without_compact(spark, tmp_path):
+    """IcebergMergeSink (drop-in contract) has no compact() — Iceberg owns
+    its own maintenance; compact_all must skip, not crash mid-iteration."""
+    from crypto_near_real_time_data_ingestion_spark.streaming.engine import (
+        PipelineHandles,
+    )
+
+    class _NoCompactSink:
+        pass
+
+    h = PipelineHandles()
+    h.sinks["parquet"] = _mk_keyed(spark, tmp_path, "pq")
+    h.sinks["iceberg"] = _NoCompactSink()
+    res = h.compact_all(spark)
+    assert set(res) == {"parquet"} and res["parquet"]["through"] == 3

@@ -98,6 +98,38 @@ def test_time_range_predicate_pushes_through_window_to_scan(spark, tmp_path):
     ), scan_lines[0][:400]
 
 
+def test_time_range_survives_missing_snapshot_manifest(spark, tmp_path):
+    """The live set (marker + commit log) is authoritative; manifests are
+    only a skipping index. A snapshot whose manifest write crashed (crash
+    after the marker rename) must be SCANNED, not silently dropped."""
+    import os
+
+    sink = _mk(spark, tmp_path)
+    want = _pdf(sink.read_time_range(spark, _hour(1), _hour(3)))
+    sink.compact(spark)
+    for f in os.listdir(sink.manifests_dir):
+        if f.startswith("compact-"):
+            os.remove(os.path.join(sink.manifests_dir, f))
+    got = sink.read_time_range(spark, _hour(1), _hour(3))
+    pd.testing.assert_frame_equal(_pdf(got), want)
+
+
+def test_time_range_reroots_manifest_paths(spark, tmp_path):
+    """Manifests record absolute paths at write time; reads must re-root
+    them under the CURRENT data_dir so a moved/restored table still
+    prunes correctly."""
+    import shutil
+
+    src_sink = _mk(spark, tmp_path)
+    moved = str(tmp_path / "moved")
+    shutil.copytree(src_sink.table_dir, moved)
+    shutil.rmtree(src_sink.table_dir)
+    sink2 = ParquetMergeSink(moved, keys=["ts", "k"], event_time_col="ts")
+    got = sink2.read_time_range(spark, _hour(0), _hour(0))
+    assert got._skipped_deltas == 2
+    assert {(r.ts, r.k) for r in got.collect()} == {(_hour(0), "a")}
+
+
 def test_time_range_requires_event_time_key(spark, tmp_path):
     sink = ParquetMergeSink(str(tmp_path / "bad"), keys=["k"], event_time_col="ts")
     with pytest.raises(ValueError, match="event_time_col to be a key"):
