@@ -171,46 +171,39 @@ class ParquetMergeSink:
             .drop("__rn")
         )
 
+    @staticmethod
+    def _stale(name: str, through: int, suffix: str = "") -> bool:
+        """True if a ``batch-``/``compact-`` artifact name is superseded by
+        the marker: batch ids at/below ``through`` are folded into the
+        snapshot; compact ids BELOW it are superseded snapshots."""
+        if suffix and not name.endswith(suffix):
+            return False
+        stem = name[: len(name) - len(suffix)] if suffix else name
+        if stem.startswith("batch-"):
+            return int(stem[len("batch-"):]) <= through
+        if stem.startswith("compact-"):
+            return int(stem[len("compact-"):]) < through
+        return False
+
     def _gc_stale(self, through: int) -> None:
-        """Remove everything superseded by the marker: delta dirs and
-        commit markers with id <= through, and snapshots older than the
-        current one. Scans the directories (not a remembered delta list),
-        so leftovers from a compaction that crashed between marker rename
-        and cleanup are collected by ANY later pass."""
+        """Remove everything superseded by the marker: delta dirs, commit
+        markers, and manifest JSONs (folded deltas are summarized by the
+        compaction manifest — metadata stays O(live), not O(lifetime)).
+        Scans the directories (not a remembered delta list), so leftovers
+        from a compaction that crashed between marker rename and cleanup
+        are collected by ANY later pass."""
         import shutil as _shutil
 
         for d in os.listdir(self.data_dir):
-            if d.startswith("batch-") and int(d[len("batch-"):]) <= through:
+            if self._stale(d, through):
                 _shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
-            elif d.startswith("compact-") and int(d[len("compact-"):]) < through:
-                _shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
-        for f in os.listdir(self.commits_dir):
-            if (
-                f.startswith("batch-")
-                and f.endswith(".json")
-                and int(f[len("batch-") : -len(".json")]) <= through
-            ):
-                try:
-                    os.remove(os.path.join(self.commits_dir, f))
-                except FileNotFoundError:
-                    pass
-        # manifests of folded deltas are summarized by the compaction
-        # manifest; without this the metadata dir grows one JSON per batch
-        # ever committed — O(lifetime) file opens for every manifest read
-        for f in os.listdir(self.manifests_dir):
-            if not f.endswith(".json"):
-                continue
-            if f.startswith("batch-") and int(f[len("batch-") : -5]) <= through:
-                dead = True
-            elif f.startswith("compact-") and int(f[len("compact-") : -5]) < through:
-                dead = True
-            else:
-                dead = False
-            if dead:
-                try:
-                    os.remove(os.path.join(self.manifests_dir, f))
-                except FileNotFoundError:
-                    pass
+        for base in (self.commits_dir, self.manifests_dir):
+            for f in os.listdir(base):
+                if self._stale(f, through, suffix=".json"):
+                    try:
+                        os.remove(os.path.join(base, f))
+                    except FileNotFoundError:
+                        pass
 
     def compact(self, spark: SparkSession) -> dict:
         """Fold every committed delta (and any prior snapshot) into one
