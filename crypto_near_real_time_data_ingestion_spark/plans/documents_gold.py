@@ -821,6 +821,53 @@ def doc_decontam_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# dataset card: corpus composition statistics
+# ---------------------------------------------------------------------------
+
+def doc_corpus_stats(docs: DataFrame) -> DataFrame:
+    """The dataset-card rollup every training corpus publishes: document /
+    token / character totals per (source × predicted language × split)
+    stratum. Composes the existing langid + hash-split + text-stats plans
+    (all keyed by doc_id — co-partitioned joins, no extra derivation) into
+    one small aggregate; the output is strata-sized (tiny) regardless of
+    corpus size, so the only real cost is the map-side partial agg."""
+    stats = doc_text_stats(docs).select("doc_id", "n_tokens_ws", "n_chars_calc")
+    lang = doc_langid(docs)
+    split = doc_split_assign(docs).select("doc_id", "split")
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "source")
+        .join(lang, "doc_id")
+        .join(split, "doc_id")
+        .join(stats, "doc_id")
+    )
+    return base.groupBy("source", "predicted_lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_ws").alias("n_tokens"),
+        F.sum("n_chars_calc").alias("n_chars"),
+    )
+
+
+DOC_CORPUS_STATS_ORACLE_SQL = (
+    "WITH s AS (" + DOC_TEXT_STATS_ORACLE_SQL + "), "
+    "lang AS (" + DOC_LANGID_ORACLE_SQL + "), "
+    "sp AS (" + DOC_SPLIT_ORACLE_SQL + ") "
+    """
+SELECT d.source, l.predicted_lang, sp.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_tokens_ws) AS BIGINT) AS n_tokens,
+       CAST(sum(s.n_chars_calc) AS BIGINT) AS n_chars
+FROM documents d
+JOIN lang l ON d.doc_id = l.doc_id
+JOIN sp ON d.doc_id = sp.doc_id
+JOIN s ON d.doc_id = s.doc_id
+WHERE d.text IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # repetition stats: Gopher-style quality signals, map-only
 # ---------------------------------------------------------------------------
 

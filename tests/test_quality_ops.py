@@ -22,8 +22,10 @@ from conftest import SF_DIR, assert_df_equal, duck_sql
 from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
     DECONTAM_EVAL_BYTE_MIN,
     DECONTAM_THRESHOLD,
+    DOC_CORPUS_STATS_ORACLE_SQL,
     DOC_REPETITION_ORACLE_SQL,
     _md5_byte,
+    doc_corpus_stats,
     doc_decontam_oracle_sql,
     doc_decontaminate,
     doc_repetition_stats,
@@ -72,6 +74,22 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = doc_decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:800]
+
+
+# ---------------------------------------------------------------------------
+# dataset card
+# ---------------------------------------------------------------------------
+
+def test_corpus_stats_match_oracle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = doc_corpus_stats(docs)
+    want = duck_sql(DOC_CORPUS_STATS_ORACLE_SQL)
+    assert_df_equal(got, want, sort_cols=["source", "predicted_lang", "split"])
+    # the rollup is strata-sized and covers every doc exactly once
+    from pyspark.sql import functions as F
+
+    total = got.agg(F.sum("n_docs")).first()[0]
+    assert total == docs.filter("text is not null").count()
 
 
 # ---------------------------------------------------------------------------

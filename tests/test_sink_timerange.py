@@ -130,6 +130,55 @@ def test_time_range_reroots_manifest_paths(spark, tmp_path):
     assert {(r.ts, r.k) for r in got.collect()} == {(_hour(0), "a")}
 
 
+def test_time_range_property_random_envelopes(spark, tmp_path):
+    """Randomized batches (random hour stamps per key) and random query
+    ranges: skip-then-filter must equal scan-then-filter for every case,
+    with skipping consistent with the generated envelopes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    batch = st.dictionaries(
+        st.sampled_from("abcd"), st.integers(0, 5), min_size=1, max_size=4
+    ).map(lambda d: sorted(d.items()))  # key → hour (ts is part of the key)
+    case = st.tuples(
+        st.lists(batch, min_size=1, max_size=4),
+        st.integers(0, 5), st.integers(0, 5),
+    )
+    counter = iter(range(10_000))
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(case)
+    def run(c):
+        batches, a, b = c
+        lo_h, hi_h = min(a, b), max(a, b)
+        sink = ParquetMergeSink(
+            str(tmp_path / f"prop{next(counter)}"),
+            keys=["k", "ts"], event_time_col="ts",
+        )
+        model = {}
+        for bid, rows in enumerate(batches):
+            sink.process_batch(
+                spark.createDataFrame(
+                    [(k, _hour(h), bid) for k, h in rows],
+                    "k string, ts timestamp, v int",
+                ),
+                bid,
+            )
+            for k, h in rows:
+                model[(k, _hour(h))] = bid
+        got = {
+            (r.k, r.ts): r.v
+            for r in sink.read_time_range(spark, _hour(lo_h), _hour(hi_h)).collect()
+        }
+        want = {
+            (k, ts): v for (k, ts), v in model.items()
+            if _hour(lo_h) <= ts <= _hour(hi_h)
+        }
+        assert got == want, (got, want)
+
+    run()
+
+
 def test_time_range_requires_event_time_key(spark, tmp_path):
     sink = ParquetMergeSink(str(tmp_path / "bad"), keys=["k"], event_time_col="ts")
     with pytest.raises(ValueError, match="event_time_col to be a key"):

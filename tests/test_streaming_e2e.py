@@ -319,3 +319,41 @@ def test_compaction_on_real_drain_preserves_oracle(spark, transcripts_parquet, d
         silver_batch(read_transcripts(spark, transcripts_parquet)), "hour"
     )
     assert_df_equal(got, want.toPandas(), sort_cols=["conv_id", "window_start"])
+
+
+def test_compact_all_on_real_drain(spark, transcripts_parquet, drained):
+    """Capstone maintenance pass: compact EVERY sink of the drained
+    pipeline in one call (queries are stopped after the drain), then
+    re-check representative read views against their batch oracles —
+    keyed upsert (sessions), stream-stream join output (pairs), and the
+    ADDITIVE sketch sink (heavy_hitters), whose fold is a pointwise sum
+    rather than latest-wins. Deliberately the FINAL test in this module:
+    it garbage-collects every sink's delta pile."""
+    res = drained.compact_all(spark)
+    # gold_hour was compacted by the earlier test (0 new deltas); every
+    # other sink folded a real delta pile
+    assert res["gold_hour"]["compacted_deltas"] == 0
+    assert all(
+        v["compacted_deltas"] >= 1 for k, v in res.items() if k != "gold_hour"
+    ), res
+
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    got_s = _no_flush(drained.sinks["sessions"].read(spark)).select(
+        "conv_id", "session_start", "session_end", "n_turns", "n_tool_calls"
+    )
+    want_s = sessionize_batch(silver).select(
+        "conv_id", "session_start", "session_end", "n_turns", "n_tool_calls"
+    )
+    assert_df_equal(got_s, want_s.toPandas(), sort_cols=["conv_id", "session_start"])
+
+    got_p = _no_flush(drained.sinks["pairs"].read(spark))
+    want_p = user_response_pairs(silver)
+    assert_df_equal(got_p, want_p.toPandas(), sort_cols=["conv_id", "user_turn_idx"])
+
+    from crypto_near_real_time_data_ingestion_spark.operators.heavy_hitters import (
+        token_counts_exact,
+    )
+
+    got_h = drained.sinks["heavy_hitters"].read(spark).select("token", "count")
+    want_h = token_counts_exact(silver)  # batch source carries no sentinel
+    assert_df_equal(got_h, want_h.toPandas(), sort_cols=["token"])
