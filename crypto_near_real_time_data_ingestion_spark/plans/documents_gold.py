@@ -983,3 +983,53 @@ SELECT g.doc_id,
             ELSE 0.0 END AS dup_2gram_frac
 FROM g LEFT JOIN s ON g.doc_id = s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# decontamination at reference-corpus scale: Bloom-filter membership
+# ---------------------------------------------------------------------------
+
+def doc_decontaminate_bloom(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = DECONTAM_THRESHOLD,
+    eval_byte_min: int = DECONTAM_EVAL_BYTE_MIN,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """``doc_decontaminate`` with the exact broadcast dictionary replaced
+    by a Bloom filter (``operators/bloom.py``) — the formulation that
+    survives a reference set too large to broadcast exactly (a prior
+    training corpus rather than a benchmark suite).
+
+    Same output schema and same flag semantics as the exact operator,
+    with one-sided error: ``n_overlap`` can only OVERcount (false
+    positives drop clean docs; eval shingles are never missed), so
+    ``contaminated`` here is a superset of the exact flag — the safe
+    direction for decontamination. The probe side is map-only: each
+    train document's whole shingle array is tested in one vectorized
+    pandas-UDF row, so unlike the exact path there is NO per-shingle
+    explode and NO groupBy(doc_id) shuffle.
+    """
+    from ..operators.bloom import bloom_count_members, build_bloom
+
+    sh = doc_shingles(docs, n).withColumn("hb", _md5_byte(F.col("doc_id")))
+    eval_grams = (
+        sh.filter(F.col("hb") >= eval_byte_min)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    words = build_bloom(eval_grams, "s", m_bits, k)
+    train = sh.filter(F.col("hb") < eval_byte_min)
+    counted = bloom_count_members(
+        train, "shingles", words, m_bits, k, out="n_overlap"
+    )
+    n_sh = F.size("shingles").cast("long")
+    frac = F.when(n_sh > 0, F.col("n_overlap") / n_sh).otherwise(F.lit(0.0))
+    return counted.select(
+        "doc_id",
+        n_sh.alias("n_shingles"),
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )
