@@ -403,9 +403,16 @@ def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_data = len(glob.glob(os.path.join(fsrc, "part-*.parquet")))
         work = f"/tmp/spark_graft_entry_stream_tws_{sf}"
         shutil.rmtree(work, ignore_errors=True)
+        # state partitions track the session's cores (floor 8, cap 32):
+        # the TWS state-server round-trips are this drain's fixed cost
+        # and parallelize across state partitions — measured at sf0.1 on
+        # a 32-core session: 62.5 s at 8 partitions vs 33.9 s at 32,
+        # identical results (keyed-state semantics are partition-count
+        # independent, which the oracle proves on every run)
+        parts = max(8, min(32, spark.sparkContext.defaultParallelism))
         h = run_pipeline_to_completion(
             spark, fsrc, work, queries=("features_tws",),
-            max_files_per_trigger=max(1, n_data), shuffle_partitions=8,
+            max_files_per_trigger=max(1, n_data), shuffle_partitions=parts,
         )
         _stream_cache[key] = h
     return h.sinks["features_tws"].read(spark).filter(
