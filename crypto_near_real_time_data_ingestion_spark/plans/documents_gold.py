@@ -1033,3 +1033,270 @@ def doc_decontaminate_bloom(
         frac.alias("overlap_frac"),
         (frac >= threshold).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# budget-constrained quality selection (corpus selection under token budget)
+# ---------------------------------------------------------------------------
+
+BUDGET_TOKENS_PER_SOURCE = 800
+
+
+def _budget_base(docs: DataFrame) -> DataFrame:
+    """Per-doc (source, quality score, token count) — the selection input.
+    Score is ``letter_ratio`` (a quotient of integers, so its double value
+    and sort order are engine-independent); tokens are whitespace counts."""
+    stats = doc_text_stats(docs).select("doc_id", "n_tokens_ws", "letter_ratio")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "source")
+        .join(stats, "doc_id")
+    )
+
+
+def doc_budget_select(
+    docs: DataFrame, budget: int = BUDGET_TOKENS_PER_SOURCE
+) -> DataFrame:
+    """Greedy prefix-under-budget corpus selection per source, in the
+    two-phase scale formulation (``operators/budget_select.py``): rank
+    docs by quality (letter_ratio desc, doc_id asc), keep while the
+    running token total fits the per-source budget. Bit-equal to the
+    naive single-window twin and the DuckDB oracle."""
+    from ..operators.budget_select import budget_select
+
+    out = budget_select(
+        _budget_base(docs),
+        keys=["source"],
+        score_col="letter_ratio",
+        tokens_col="n_tokens_ws",
+        budget=budget,
+        tiebreak="doc_id",
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens"),
+        "cum_tokens",
+        "selected",
+    )
+
+
+def doc_budget_select_naive(
+    docs: DataFrame, budget: int = BUDGET_TOKENS_PER_SOURCE
+) -> DataFrame:
+    """Ground-truth twin: ONE window per source over every doc — correct,
+    but serializes each source onto a single task (the formulation the
+    two-phase operator exists to avoid at scale)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("letter_ratio").desc_nulls_last(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = _budget_base(docs)
+    return base.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens"),
+        F.sum("n_tokens_ws").over(w).cast("long").alias("cum_tokens"),
+    ).withColumn("selected", F.col("cum_tokens") <= F.lit(budget))
+
+
+def doc_budget_select_oracle_sql(budget: int = BUDGET_TOKENS_PER_SOURCE) -> str:
+    return (
+        "WITH s AS (" + DOC_TEXT_STATS_ORACLE_SQL + """),
+base AS (
+    SELECT d.doc_id, d.source, s.n_tokens_ws, s.letter_ratio
+    FROM documents d JOIN s ON d.doc_id = s.doc_id
+    WHERE d.text IS NOT NULL
+),
+c AS (
+    SELECT doc_id, source, CAST(n_tokens_ws AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens_ws) OVER (
+               PARTITION BY source
+               ORDER BY letter_ratio DESC NULLS LAST, doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_tokens
+    FROM base
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       cum_tokens <= """ + str(budget) + """ AS selected
+FROM c
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate spans (ExactSubstr-style signal, n-gram grain)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_N = 3
+
+
+def doc_dup_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """Per document: how much of it is covered by token n-grams that also
+    occur in ANOTHER document — the cross-document repeated-span signal
+    of the ExactSubstr dedup recipe (Lee et al., "Deduplicating Training
+    Data..."), at fixed n-gram granularity instead of suffix arrays.
+    Distinct from ``doc_repetition_stats`` (within-doc repetition) and
+    from the doc-level near-dup family: this flags boilerplate SPANS
+    inside otherwise-unique documents.
+
+    Plan shape: positioned n-grams explode once (shuffle ∝ token
+    occurrences — inherent to the published algorithm, which must also
+    touch every token); "occurs elsewhere" is the cheap partial-agg
+    ``min(doc_id) <> max(doc_id)`` per gram (no countDistinct); covered
+    positions are unioned IN-ROW per doc (``array_distinct`` over the
+    flattened per-start windows) after a single groupBy(doc_id) of the
+    matched starts, so no per-position rows ever shuffle.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+            ).alias("g"),
+        ),
+    )
+    pos_grams = d.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens"), gram.alias("pg")
+    )
+    exploded = pos_grams.select(
+        "doc_id", F.explode("pg").alias("x")
+    ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    cross = (
+        exploded.groupBy("g")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("crossdup"))
+        .filter("crossdup")
+        .select("g")
+    )
+    starts = (
+        exploded.join(cross, "g")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    covered = F.size(
+        F.array_distinct(
+            F.flatten(
+                F.transform("starts", lambda s: F.sequence(s, s + (n - 1)))
+            )
+        )
+    ).cast("long")
+    base = pos_grams.select("doc_id", "n_tokens")
+    out = base.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(
+            F.when(F.col("starts").isNotNull(), covered), F.lit(0).cast("long")
+        ).alias("n_dup_positions"),
+    )
+    return out.withColumn(
+        "dup_span_frac",
+        F.when(
+            F.col("n_tokens") > 0, F.col("n_dup_positions") / F.col("n_tokens")
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+DOC_DUP_SPAN_ORACLE_SQL = """
+WITH l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+p AS (
+    SELECT doc_id,
+           unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS pos,
+           toks AS toks
+    FROM l
+),
+pg AS (
+    SELECT doc_id, pos,
+           toks[pos] || ' ' || toks[pos + 1] || ' ' || toks[pos + 2] AS g
+    FROM p
+),
+cross_g AS (SELECT g FROM pg GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+m AS (SELECT pg.doc_id, pg.pos FROM pg JOIN cross_g ON pg.g = cross_g.g),
+cov AS (
+    SELECT DISTINCT doc_id, pos + off AS cp
+    FROM m, (SELECT unnest(generate_series(0, 2)) AS off)
+),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM cov GROUP BY 1)
+SELECT l.doc_id,
+       CAST(len(l.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_positions,
+       CASE WHEN len(l.toks) > 0
+            THEN CAST(coalesce(c.n_dup, 0) AS DOUBLE) / len(l.toks)
+            ELSE 0.0 END AS dup_span_frac
+FROM l LEFT JOIN cnt c ON l.doc_id = c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram log-probability quality score (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def doc_unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean negative unigram log-probability under the
+    corpus's own unigram distribution — the model-free analog of CCNet's
+    KenLM perplexity filter (no LM ships in this container): documents
+    made of rare tokens score high (surprising), boilerplate scores low.
+
+    Scale shape: the unigram table is VOCABULARY-sized, so it broadcasts
+    (at 100 TB one would cap it to the top-K heavy hitters —
+    ``operators/heavy_hitters.py`` — with an OOV floor; the full table
+    is exact here and keeps the oracle closed-form). One corpus-wide
+    agg builds the table (map-side partials), the per-doc score is an
+    explode → broadcast join → groupBy(doc_id) mean — one shuffle keyed
+    by doc_id. Verified in pytest with float tolerance (ln() is libm-
+    dependent in the last ulp, so this is deliberately NOT a value-hash
+    driver entry; every integer column still matches exactly).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
+    t = d.select("doc_id", F.explode("toks").alias("t"))
+    freq = t.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("long").alias("total"))
+    logp = (
+        t.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("cnt") / F.col("total"))).alias("nlp"))
+    )
+    scored = logp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg("nlp").alias("mean_neg_logprob"),
+    )
+    base = d.select("doc_id")
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        "mean_neg_logprob",
+    )
+
+
+DOC_UNIGRAM_LOGPROB_ORACLE_SQL = """
+WITH l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+t AS (SELECT doc_id, unnest(toks) AS t FROM l),
+freq AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY t),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+s AS (
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           avg(-ln(CAST(freq.cnt AS DOUBLE) / tot.total)) AS mean_neg_logprob
+    FROM t JOIN freq ON t.t = freq.t CROSS JOIN tot
+    GROUP BY t.doc_id
+)
+SELECT l.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.mean_neg_logprob
+FROM l LEFT JOIN s ON l.doc_id = s.doc_id
+"""

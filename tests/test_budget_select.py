@@ -1,0 +1,129 @@
+"""Budget-constrained quality selection (operators/budget_select.py).
+
+Three-way agreement: the two-phase scale formulation == the naive
+single-window twin == the DuckDB window oracle, on the driver corpus
+AND on a planted fixture that exercises every boundary case (oversize
+first doc, exact-budget landing, tie group split by the budget,
+post-crossing small doc that must stay excluded).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from conftest import SF_DIR, assert_df_equal, duck_sql
+
+from crypto_near_real_time_data_ingestion_spark.operators.budget_select import (
+    budget_select,
+)
+from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
+    doc_budget_select,
+    doc_budget_select_naive,
+    doc_budget_select_oracle_sql,
+)
+
+
+def test_two_phase_matches_oracle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = doc_budget_select(docs)
+    want = duck_sql(doc_budget_select_oracle_sql())
+    assert_df_equal(got, want, sort_cols=["doc_id"])
+
+
+def test_naive_matches_oracle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = doc_budget_select_naive(docs)
+    want = duck_sql(doc_budget_select_oracle_sql())
+    assert_df_equal(got, want, sort_cols=["doc_id"])
+
+
+def test_selection_is_nontrivial(spark):
+    """The default budget must actually cut: some docs in, some out —
+    otherwise the equality tests are vacuous."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = doc_budget_select(docs)
+    n_in = got.filter("selected").count()
+    n_out = got.filter("NOT selected").count()
+    assert n_in > 0 and n_out > 0, (n_in, n_out)
+
+
+def test_planted_boundary_cases(spark):
+    # key A: 10-token budget.
+    #   a1 (score .9, 4 tok) in (cum 4); a2 (score .8, 6 tok) in (cum 10,
+    #   exact landing); a3 (score .7, 1 tok) OUT (cum 11 — post-crossing
+    #   small doc must not sneak in)
+    # key B: b1 alone exceeds the budget (12 tok) -> OUT even as rank 1.
+    # key C: tie group at score .5 split by the budget — doc_id order
+    #   decides (c1 in at cum 6, c2 in at cum 10, c3 out at cum 14).
+    rows = [
+        ("a1", "A", 0.9, 4), ("a2", "A", 0.8, 6), ("a3", "A", 0.7, 1),
+        ("b1", "B", 0.9, 12), ("b2", "B", 0.8, 3),
+        ("c1", "C", 0.5, 6), ("c2", "C", 0.5, 4), ("c3", "C", 0.5, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, letter_ratio double, n_tokens_ws int"
+    )
+    out = budget_select(
+        df, keys=["source"], score_col="letter_ratio",
+        tokens_col="n_tokens_ws", budget=10, tiebreak="doc_id",
+    )
+    got = {r["doc_id"]: (r["cum_tokens"], r["selected"]) for r in out.collect()}
+    assert got == {
+        "a1": (4, True), "a2": (10, True), "a3": (11, False),
+        "b1": (12, False), "b2": (15, False),
+        "c1": (6, True), "c2": (10, True), "c3": (14, False),
+    }
+
+
+def test_two_phase_avoids_whole_source_window(spark):
+    """The scale win: no window partitioned by source alone. Every sort
+    in the two-phase plan is keyed by (source, score) or runs over the
+    aggregated score ledger — the plan must never sort the full doc set
+    on source alone (which is what serializes a giant source)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = doc_budget_select(docs)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*partitionspec=\[([^\]]*)\]", plan):
+        spec = m.group(1)
+        assert "letter_ratio" in spec or "_grp" in spec or spec.count(",") >= 1, spec
+
+
+def test_dup_span_stats_matches_oracle(spark):
+    from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
+        DOC_DUP_SPAN_ORACLE_SQL,
+        doc_dup_span_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = doc_dup_span_stats(docs)
+    want = duck_sql(DOC_DUP_SPAN_ORACLE_SQL)
+    assert_df_equal(got, want, sort_cols=["doc_id"])
+    # non-vacuity: the word-salad corpus's small vocabulary makes most
+    # trigrams recur somewhere (fractions ~0.6-1.0 — measured), so the
+    # useful check is VARIATION, not presence of zero-dup docs; the
+    # planted fixture below pins exact zero/partial coverage values
+    pdf = got.toPandas()
+    assert (pdf["dup_span_frac"] == 1.0).any()
+    assert (pdf["dup_span_frac"] < 0.8).any()
+
+
+def test_dup_span_planted(spark):
+    # shared trigram "the quick brown" between d1/d2 covers 3 positions in
+    # each; d3 shares nothing; d4 too short for any trigram
+    rows = [
+        ("d1", "s", "the quick brown fox jumps"),
+        ("d2", "s", "see the quick brown dog"),
+        ("d3", "s", "entirely different words here"),
+        ("d4", "s", "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
+        doc_dup_span_stats,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_positions"])
+        for r in doc_dup_span_stats(df).collect()
+    }
+    assert got == {"d1": (5, 3), "d2": (5, 3), "d3": (4, 0), "d4": (2, 0)}

