@@ -125,3 +125,34 @@ def test_bloom_probe_is_map_only(spark):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:500]
+
+
+def test_bloom_probe_composes_with_streaming(spark, tmp_path):
+    """Deployment shape: decontamination runs AT INGEST — the probe is a
+    stateless map-only transform, so the same ``probe_bloom`` call drops
+    into a streaming query unchanged (no watermark, no state store).
+    Drain a file stream of the documents corpus through the probe and
+    require bit-equal flags to the batch probe."""
+    import pyspark.sql.functions as F2
+
+    grams = _eval_grams(spark).cache()
+    words = build_bloom(grams, "s", M_BITS, BLOOM_K)
+
+    batch = {
+        r["s"]: r["maybe_member"]
+        for r in probe_bloom(grams, "s", words, M_BITS, BLOOM_K).collect()
+    }
+
+    src = str(tmp_path / "gram_stream")
+    grams.write.parquet(src)
+    stream = spark.readStream.schema("s string").parquet(src)
+    probed = probe_bloom(stream, "s", words, M_BITS, BLOOM_K)
+    out: dict[str, bool] = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            out[r["s"]] = r["maybe_member"]
+
+    q = probed.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert out == batch
