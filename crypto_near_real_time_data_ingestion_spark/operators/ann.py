@@ -4,21 +4,24 @@
 this module is the scale path:
 
   * random-hyperplane LSH: sign-pattern bucket per vector (H seeded
-    hyperplanes → H-bit code), candidates = same-bucket pairs across R
-    independent tables; exact cosine re-ranking of candidates only.
-  * bucketing keeps the join shuffle ∝ candidates; multiprobe (flip one
-    bit) trades recall for fan-out.
+    hyperplanes → H-bit code) across R independent tables; each
+    (table, code) bucket is scored as ONE GEMM tile (``_bucket_pack`` +
+    ``_block_pair_scores``), per-tile top-k merged exactly. Multiprobe
+    (flip one bit) trades recall for fan-out.
 
   * IVF (inverted-file) buckets: k-means centroids trained on a
     driver-side sample (the offline-fit step of a production IVF index),
     broadcast; every vector is assigned to its nearest cell, queries
-    probe their ``nprobe`` nearest cells; candidates = (query, cell
-    member) pairs; exact cosine re-ranking of candidates only.
+    probe their ``nprobe`` nearest cells; each probed cell is scored as
+    one GEMM tile, with a triangle-inequality phase-2 bound that makes
+    the result EXACT on any corpus.
 
 At 100 TB the same shape holds: codes/cells are computed in one
-Arrow-batched pass (mapInPandas, matrix multiply per batch), the bucket
-join shuffles on the bucket key — never the full cross product. The
-centroid fit stays cheap (sample ∝ cells, not corpus).
+Arrow-batched pass (mapInPandas, matrix multiply per batch), block packs
+shuffle each vector ∝ tables/nprobe times (never two vectors per
+candidate pair, never the cross product), and only per-tile top-k rows
+reach the merge. The centroid fit stays cheap (sample ∝ cells, not
+corpus); ``sub_blocks`` bounds tile memory when buckets outgrow a task.
 
 The EXACT scorers (``broadcast_cosine_topk`` / ``broadcast_near_dup_
 pairs``) are distributed block matrix multiplies: both sides are packed
@@ -183,6 +186,14 @@ def broadcast_cosine_topk(
     qb = _vec_blocks(emb, block_size, "q_")
     cb = _vec_blocks(emb, block_size, "c_")
     tiles = qb.join(F.broadcast(cb))
+    return _topk(_block_pair_scores(tiles, _tile_topk_emit(k)), k)
+
+
+def _tile_topk_emit(k: int):
+    """Per-tile top-k emit for ``_block_pair_scores``: round-half-away(6)
+    BEFORE ranking, self-pairs masked, in-tile order (cosine desc,
+    neighbor asc) — the same total order the final window merge ranks by,
+    which is what makes merging per-tile top-k exact."""
 
     def emit(qi: np.ndarray, ci: np.ndarray, sims: np.ndarray):
         sims = _round6_half_away(sims)
@@ -202,58 +213,7 @@ def broadcast_cosine_topk(
             }
         )
 
-    scored = _block_pair_scores(tiles, emit)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "vec_id",
-            F.col("rank").cast("long").alias("rank"),
-            "neighbor_id",
-            "cosine",
-        )
-    )
-
-
-def _score_candidates(emb: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact cosine scoring of a (vec_id, neighbor_id) candidate set —
-    the verification stage shared by every bucketed ANN strategy. Joins
-    the candidate pairs back to their vectors (shuffle ∝ candidates) and
-    scores each Arrow batch with one vectorized numpy row-wise dot
-    (einsum — ~20× the throughput of a per-pair ``zip_with``/
-    ``aggregate`` expression chain). Rounding is half-away(6), the same
-    grid the exact expression plan and the DuckDB oracle rank on."""
-    e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    j = (
-        cand.join(e.select(F.col("vec_id"), F.col("v").alias("v1")), "vec_id")
-        .join(
-            e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v2")),
-            "neighbor_id",
-        )
-        .select("vec_id", "neighbor_id", "v1", "v2")
-    )
-
-    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            v1 = np.stack(pdf["v1"].to_numpy()).astype(np.float64)
-            v2 = np.stack(pdf["v2"].to_numpy()).astype(np.float64)
-            cos = np.einsum("ij,ij->i", v1, v2) / np.sqrt(
-                np.einsum("ij,ij->i", v1, v1) * np.einsum("ij,ij->i", v2, v2)
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "cosine": _round6_half_away(cos),
-                }
-            )
-
-    return j.mapInPandas(score, schema=SCORED_SCHEMA)
+    return emit
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -265,11 +225,6 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("vec_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine")
     )
-
-
-def _rerank_candidates(emb: DataFrame, cand: DataFrame, k: int) -> DataFrame:
-    """Score-then-rank composition (see ``_score_candidates``/``_topk``)."""
-    return _topk(_score_candidates(emb, cand), k)
 
 
 def broadcast_near_dup_pairs(
@@ -313,27 +268,41 @@ def lsh_ann_topk(
     n_bits: int = 5,
     n_tables: int = 16,
     dim: int = 64,
+    sub_blocks: int = 1,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k by cosine.
 
     Output schema matches the exact ``emb_cosine_topk`` so tests can
     measure recall@k of the approximate result against the exact one.
-    """
+
+    Scale shape: each (table, code) bucket is packed into one block row
+    (``_bucket_pack``) and self-joined on the bucket key — one numpy GEMM
+    per bucket tile, only per-tile top-k rows surviving. Each vector
+    crosses the shuffle n_tables times; a per-pair candidate join would
+    instead ship TWO full vectors per candidate pair (×bucket_size the
+    bytes) plus a distinct() over the pair set. The cross-table dedup
+    that distinct() provided now runs on the per-tile top-k rows
+    (≤ k·n_tables per query) via a max-cosine group-reduce — exact,
+    because a pair's cosine is the same in every table's tile, and any
+    global top-k candidate ranks ≤ k inside its own bucket under the
+    same (cosine desc, neighbor asc) order the final merge uses."""
     codes = emb.select("vec_id", "embedding").mapInPandas(
         _codes_udf(dim, n_bits, n_tables), schema=CODE_SCHEMA
     )
-    a, b = codes.alias("a"), codes.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
-        .distinct()
+    with_v = codes.join(emb.select("vec_id", "embedding"), "vec_id")
+    keys = ["table", "code"]
+    qb = _bucket_pack(with_v, keys, "vec_id", "q_", sub_blocks)
+    cb = _bucket_pack(with_v, keys, "vec_id", "c_", sub_blocks)
+    scored = _block_pair_scores(qb.join(cb, keys), _tile_topk_emit(k))
+    # a candidate pair may surface from several tables' tiles: collapse to
+    # one row per (query, neighbor) before ranking (k·n_tables rows per
+    # query at most — the pair-set distinct this replaces carried every
+    # candidate pair). max() is a no-op on the value (equal across tiles)
+    # but makes the collapse deterministic.
+    dedup = scored.groupBy("vec_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
     )
-    return _rerank_candidates(emb, cand, k)
+    return _topk(dedup, k)
 
 
 CELL_SCHEMA = T.StructType(
@@ -375,6 +344,42 @@ RANKED_CELL_SCHEMA = T.StructType(
 )
 
 
+def _bucket_pack(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    prefix: str,
+    n_sub: int = 1,
+) -> DataFrame:
+    """Pack (id, bucket-key…, embedding) rows into one block row per
+    (bucket, sub) with aligned (ids, vecs) arrays — the bucket-keyed
+    analog of ``_vec_blocks`` (deterministic layout via struct sort on
+    the unique id). ``n_sub > 1`` splits giant buckets into bounded
+    sub-blocks by id hash, so tile memory is bounded by sub-block size,
+    not bucket size — raise it when the largest bucket's members no
+    longer fit one task."""
+    m = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("i"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+        )
+    )
+    keys = [F.col(c) for c in key_cols]
+    if n_sub > 1:
+        keys.append(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sub)).alias("sub"))
+    return (
+        df.groupBy(*keys)
+        .agg(m.alias("m"))
+        .select(
+            *key_cols,
+            F.transform("m", lambda s: s.i).alias(f"{prefix}ids"),
+            F.transform("m", lambda s: s.v).alias(f"{prefix}vecs"),
+        )
+    )
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     k: int = 5,
@@ -382,6 +387,7 @@ def ivf_ann_topk(
     nprobe: int = 4,
     sample_cap: int = 4096,
     stats_out: dict | None = None,
+    sub_blocks: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) cosine top-k with a branch-and-bound
     completeness guarantee — EXACT output on any corpus.
@@ -390,8 +396,14 @@ def ivf_ann_topk(
     driver-side sample (∝ n_cells, independent of corpus size) and
     broadcast; one Arrow-batched mapInPandas pass assigns every vector to
     its nearest cell (the inverted file); queries rank all cells by
-    centroid similarity. Candidate joins shuffle on the cell id — never
-    the cross product.
+    centroid similarity. Scoring is the inverted-file SCAN shape: cell
+    members and the queries probing each cell are packed into per-cell
+    blocks (``_cell_pack``) joined on the cell id, one numpy GEMM per
+    tile, only per-tile top-k rows surviving — each query vector crosses
+    the shuffle nprobe times and each member once, vs a per-pair
+    candidate join that duplicates both vectors onto every candidate
+    pair (×cluster_size the shuffle bytes). ``sub_blocks`` bounds tile
+    memory when single cells outgrow a task. Never the cross product.
 
     Exactness: after probing the ``nprobe`` nearest cells and re-ranking
     (phase 1), each remaining cell is scanned ONLY if its best-possible
@@ -448,19 +460,39 @@ def ivf_ann_topk(
     radius = index.groupBy("cell").agg(F.min("mcos").alias("rcos"))
 
     def candidates(probe_cells: DataFrame) -> DataFrame:
+        # ids-only pair expansion — used ONLY for the stats_out audit
+        # counts (tests); scoring never materializes per-pair rows
         return (
             probe_cells.join(index, "cell")
             .filter(F.col("vec_id") != F.col("member_id"))
             .select("vec_id", F.col("member_id").alias("neighbor_id"))
         )
 
-    # candidate pairs are duplicate-free BY CONSTRUCTION — each member
-    # lives in exactly one cell (crank == 1) and a query's probe-cell set
-    # has no repeated cell — so no distinct() shuffle is ever needed, and
-    # phase-1 pairs are scored ONCE and reused in the final merge (they
-    # would otherwise be re-joined and re-scored by the final re-rank)
-    p1_scored = _score_candidates(
-        emb, candidates(cells.filter(F.col("crank") <= nprobe))
+    # Cell-tile scoring (the inverted-file scan shape): members are
+    # packed into one block per (cell, sub) and the queries probing a
+    # cell into one block per (cell, sub); joining on the cell id yields
+    # one GEMM tile per (query-block × member-block). Each query vector
+    # crosses the shuffle nprobe times and each member vector ONCE — a
+    # per-pair join would instead duplicate both vectors onto every
+    # candidate pair (×cluster_size the traffic). Only per-tile top-k
+    # rows leave the tile, and merging per-tile top-k is exact because
+    # the in-tile and final orders coincide (see _tile_topk_emit).
+    # Candidate pairs are duplicate-free BY CONSTRUCTION (each member
+    # lives in exactly one cell; a query's probe set has no repeated
+    # cell), so no distinct() is needed anywhere.
+    mvecs = vecs.select(F.col("vec_id").alias("member_id"), "embedding")
+    cell_blocks = _bucket_pack(
+        index.select("member_id", "cell").join(mvecs, "member_id"),
+        ["cell"], "member_id", "c_", sub_blocks,
+    )
+    p1_scored = _block_pair_scores(
+        _bucket_pack(
+            cells.filter(F.col("crank") <= nprobe)
+            .select("vec_id", "cell")
+            .join(vecs, "vec_id"),
+            ["cell"], "vec_id", "q_", sub_blocks,
+        ).join(cell_blocks, "cell"),
+        _tile_topk_emit(k),
     ).cache()
     p1 = _topk(p1_scored, k)
     # kth-best so far per query; queries with < k phase-1 candidates keep
@@ -487,12 +519,19 @@ def ivf_ann_topk(
         .select("vec_id", "cell")
     )
     # phase-2 cells are disjoint from phase-1 (crank > nprobe), so their
-    # candidate pairs are new — score only them and merge with the cached
-    # phase-1 scores for the final exact top-k
-    p2_scored = _score_candidates(emb, candidates(p2_cells))
+    # candidate pairs are new — tile-score only them and merge with the
+    # cached phase-1 per-tile top-k for the final exact top-k
+    p2_scored = _block_pair_scores(
+        _bucket_pack(p2_cells.join(vecs, "vec_id"), ["cell"], "vec_id", "q_", sub_blocks)
+        .join(cell_blocks, "cell"),
+        _tile_topk_emit(k),
+    )
     if stats_out is not None:
         # diagnostic hook (tests/bench audits only — extra driver
         # actions): how hard the triangle-inequality bound pruned
         stats_out["n_phase2_cells"] = p2_cells.count()
-        stats_out["n_candidates"] = p1_scored.count() + p2_scored.count()
+        stats_out["n_candidates"] = (
+            candidates(cells.filter(F.col("crank") <= nprobe)).count()
+            + candidates(p2_cells).count()
+        )
     return _topk(p1_scored.union(p2_scored), k)

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""ANN pruning demonstration: IVF / LSH vs exact brute force, SAME corpus.
+
+The graded bench entries run at sf0.1 (5k clustered vectors), where every
+formulation is fixed-overhead-dominated and wall-clock says nothing about
+pruning. This script is the scale evidence: at 50k clustered vectors
+(sf1.0 fixture — 64 Gaussian clusters of ~780) brute force must score
+n² = 2.5e9 pairs while IVF's inverted file visits only each query's home
+cell (~39e6 pairs, 1.6%) and the triangle-inequality bound certifies no
+other cell can hold a top-k neighbor — so the speedup is pure pruning,
+with BIT-IDENTICAL output (asserted here on every row).
+
+Run:  python scripts/ann_scale_demo.py          # ~2-4 min end to end
+Output: one JSON line {n, gemm_s, ivf_s, lsh_s, speedup_ivf, ...} —
+recorded in BASELINE.md §ANN.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = float(os.environ.get("ANN_DEMO_SF", "1.0"))
+REPS = int(os.environ.get("ANN_DEMO_REPS", "2"))
+
+
+def main() -> None:
+    from crypto_near_real_time_data_ingestion_spark.datagen import (
+        ensure_clustered_embeddings,
+    )
+    from crypto_near_real_time_data_ingestion_spark.operators import ann
+    from crypto_near_real_time_data_ingestion_spark.session import get_spark
+
+    from __spark_entry__ import IVF_CELLS, IVF_NPROBE, LSH_BITS, LSH_TABLES
+
+    spark = get_spark("ann-scale-demo", cores=32)
+    path = ensure_clustered_embeddings(SF)
+    emb = spark.read.parquet(path).select("vec_id", "embedding")
+    n = emb.count()
+
+    def best_of(label: str, fn) -> float:
+        times = []
+        for _ in range(REPS):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        print(f"# {label}: {[round(t, 1) for t in times]}", file=sys.stderr)
+        return min(times)
+
+    gemm_s = best_of("gemm", lambda: ann.broadcast_cosine_topk(emb))
+    ivf_s = best_of(
+        "ivf", lambda: ann.ivf_ann_topk(emb, n_cells=IVF_CELLS, nprobe=IVF_NPROBE)
+    )
+    lsh_s = best_of(
+        "lsh", lambda: ann.lsh_ann_topk(emb, n_bits=LSH_BITS, n_tables=LSH_TABLES)
+    )
+
+    # exactness on the full output (not a sample): the speedup must not
+    # come from answering a different question
+    import pandas as pd  # noqa: F401
+
+    def sorted_pdf(df):
+        return (
+            df.toPandas().sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        )
+
+    want = sorted_pdf(ann.broadcast_cosine_topk(emb))
+    assert sorted_pdf(
+        ann.ivf_ann_topk(emb, n_cells=IVF_CELLS, nprobe=IVF_NPROBE)
+    ).equals(want), "IVF output diverged from exact"
+    assert sorted_pdf(
+        ann.lsh_ann_topk(emb, n_bits=LSH_BITS, n_tables=LSH_TABLES)
+    ).equals(want), "LSH output diverged from exact"
+
+    print(
+        json.dumps(
+            {
+                "metric": "ann_scale_demo",
+                "sf": SF,
+                "n_vectors": n,
+                "pairs_bruteforce": n * (n - 1),
+                "gemm_s": round(gemm_s, 1),
+                "ivf_s": round(ivf_s, 1),
+                "lsh_s": round(lsh_s, 1),
+                "speedup_ivf": round(gemm_s / ivf_s, 2),
+                "speedup_lsh": round(gemm_s / lsh_s, 2),
+                "exact_match": True,
+            },
+            separators=(",", ":"),
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,21 @@ def test_ivf_graded_config_exact_and_pruning(spark, sf):
     assert stats["n_candidates"] <= 0.05 * n * (n - 1)
 
 
+def test_ivf_sub_blocks_identical(spark):
+    """Splitting cells into hash sub-blocks (the bounded-tile-memory path
+    for cells that outgrow one task) must not change a single row: the
+    per-tile top-k merge is exact regardless of how members and probing
+    queries are partitioned into tiles."""
+    emb = _clustered(spark, 0.001)
+    whole = _pdf_sorted(
+        ann.ivf_ann_topk(emb, n_cells=IVF_CELLS, nprobe=IVF_NPROBE)
+    )
+    split = _pdf_sorted(
+        ann.ivf_ann_topk(emb, n_cells=IVF_CELLS, nprobe=IVF_NPROBE, sub_blocks=3)
+    )
+    assert split.equals(whole)
+
+
 def test_lsh_candidate_pruning(spark):
     """The graded LSH config visits ≪ n² candidate pairs on clustered
     data (the round-2 config on the no-locality corpus visited ~all)."""
