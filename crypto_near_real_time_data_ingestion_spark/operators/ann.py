@@ -227,6 +227,47 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _score_candidates(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact cosine scoring of an IRREGULAR (vec_id, neighbor_id)
+    candidate set — the refine stage of quantized indexes (PQ), whose
+    shortlists (∝ k per query) have no bucket structure to tile on.
+    Joins each pair back to its two vectors (shuffle ∝ candidates — fine
+    for refine-sized sets, which is why bucketed candidate GENERATION
+    uses ``_bucket_pack`` tiles instead) and scores each Arrow batch with
+    one vectorized row-wise einsum. Rounding is half-away(6), the grid
+    every exact twin and oracle ranks on."""
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    j = (
+        cand.join(e.select(F.col("vec_id"), F.col("v").alias("v1")), "vec_id")
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("v2")),
+            "neighbor_id",
+        )
+        .select("vec_id", "neighbor_id", "v1", "v2")
+    )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v1 = np.stack(pdf["v1"].to_numpy()).astype(np.float64)
+            v2 = np.stack(pdf["v2"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", v1, v2) / np.sqrt(
+                np.einsum("ij,ij->i", v1, v1) * np.einsum("ij,ij->i", v2, v2)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine": _round6_half_away(cos),
+                }
+            )
+
+    return j.mapInPandas(score, schema=SCORED_SCHEMA)
+
+
 def broadcast_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.45, block_size: int = BLOCK_SIZE
 ) -> DataFrame:

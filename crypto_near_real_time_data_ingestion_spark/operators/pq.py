@@ -1,0 +1,202 @@
+"""Product-quantization (PQ) ANN: memory-bounded similarity search.
+
+Completes the similarity-search family (exact block-GEMM → LSH → IVF →
+PQ): at 10^9+ vectors even the bucketed indexes still ship full float
+vectors (512 B at dim 64); PQ compresses each vector to ``m`` one-byte
+codes (8 B at the defaults — 64×), which is what makes a whole-corpus
+index SMALL enough to broadcast/cache long after raw vectors cannot be.
+This is the standard IVF-PQ refine pipeline (Jégou et al., "Product
+Quantization for Nearest Neighbor Search"; the reference engine has no
+ANN operator — this family is part of the training-data-pipeline scope
+the brief adds, like `operators/ann.py`):
+
+  1. OFFLINE FIT (driver, bounded): split dim into ``m`` subspaces, run
+     the shared deterministic k-means (``ann._kmeans_fit``) per subspace
+     on a ≤ ``sample_cap`` id-ordered sample of NORMALIZED vectors →
+     (m × ksub × dim/m) codebooks, broadcast (512 KB at the defaults).
+  2. ENCODE (one Arrow-batched ``mapInPandas`` pass): each vector →
+     its per-subspace nearest codeword ids (array<smallint> — the
+     compressed index).
+  3. ADC SCAN (asymmetric distance computation): code blocks are packed
+     id-ordered (≤ ``code_block`` codes per row) and joined against
+     query-vector blocks; per tile, ONE small GEMM per subspace builds
+     each query's (ksub)-entry lookup table and the approximate cosine
+     of every (query, code) pair is m table gathers — no decoded
+     vectors are ever materialized. Only per-tile top-(refine·k) rows
+     survive.
+  4. EXACT REFINE: the global ADC shortlist (refine·k per query) is
+     re-scored with TRUE vectors (``ann._score_candidates``) and the
+     final top-k ranked under the family's shared (cosine desc,
+     neighbor asc) order — so every returned SCORE is exact; only
+     recall is approximate, and it is pinned by tests
+     (recall 1.0 on a codebook-realizable corpus, banded on the
+     clustered fixture).
+
+100 TB shape: fit is O(sample · ksub), independent of corpus size;
+encode is map-only; the scan shuffles 8-byte codes instead of 512-byte
+vectors (the code blocks are the broadcast side — 8 GB per 10^9 vectors
+vs 512 GB raw); refine fetches ``refine·k`` true vectors per query by
+id-keyed join. ADC tiles are float32 and bounded by
+``block_size × code_block``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import ann
+
+CODES_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.ShortType())),
+    ]
+)
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    sample_cap: int = 4096,
+    dim: int = 64,
+) -> np.ndarray:
+    """Fit (m × ksub × dim/m) codebooks on a bounded, deterministic
+    driver-side sample of normalized vectors — the offline-fit step of a
+    production PQ index (cost ∝ sample, independent of corpus size)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sample = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(sample_cap).collect()
+    )
+    mat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    dsub = dim // m
+    return np.stack(
+        [
+            ann._kmeans_fit(np.ascontiguousarray(mat[:, i * dsub : (i + 1) * dsub]), ksub)
+            for i in range(m)
+        ]
+    )
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """Encode every vector to its per-subspace nearest codeword ids —
+    one Arrow-batched map-only pass, (vec_id, array<smallint>[m]) out.
+    The encoded table IS the index: m bytes of information per vector
+    instead of 8·dim (64× at the defaults)."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cbs = bc.value
+        mm, _ksub, dsub = cbs.shape
+        c2 = (cbs * cbs).sum(axis=2)  # (m, ksub)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            codes = np.empty((len(v), mm), dtype=np.int16)
+            for i in range(mm):
+                sub = v[:, i * dsub : (i + 1) * dsub]
+                # argmin ||x−c||² via the GEMM expansion (x-term constant)
+                d2 = c2[i][None, :] - 2.0 * (sub @ cbs[i].T)
+                codes[:, i] = d2.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(encode, schema=CODES_SCHEMA)
+
+
+def _code_blocks(codes: DataFrame, code_block: int) -> DataFrame:
+    """Pack (vec_id, codes) rows into id-ordered blocks ≤ code_block —
+    the compressed scan unit (one row ≈ m·2·code_block bytes)."""
+    members = F.sort_array(
+        F.collect_list(F.struct(F.col("vec_id"), F.col("codes")))
+    )
+    return (
+        codes.groupBy(F.floor(F.col("vec_id") / code_block).alias("c_block_id"))
+        .agg(members.alias("m"))
+        .select(
+            "c_block_id",
+            F.transform("m", lambda s: s.vec_id).alias("c_ids"),
+            F.transform("m", lambda s: s.codes).alias("c_codes"),
+        )
+    )
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 256,
+    refine: int = 4,
+    sample_cap: int = 4096,
+    dim: int = 64,
+    block_size: int = 2048,
+    code_block: int = 8192,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-ADC cosine top-k with exact refine (see module docstring).
+
+    Returned scores are EXACT (true-vector re-rank, round-half-away(6),
+    (cosine desc, neighbor asc) tiebreak — the family's shared order);
+    recall is governed by codebook distortion and the ``refine``
+    shortlist factor. Output schema matches ``ann.broadcast_cosine_topk``
+    so recall is directly measurable against the exact result."""
+    spark = emb.sparkSession
+    if codebooks is None:
+        codebooks = pq_fit(emb, m=m, ksub=ksub, sample_cap=sample_cap, dim=dim)
+    bc = spark.sparkContext.broadcast(codebooks.astype(np.float32))
+    codes = pq_encode(emb, codebooks)
+    cb_blocks = _code_blocks(codes, code_block)
+    qb = ann._vec_blocks(emb, block_size, "q_")
+    tiles = qb.join(F.broadcast(cb_blocks))
+    shortlist_k = max(k * refine, k)
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cbs = bc.value  # (m, ksub, dsub) float32
+        mm, _ks, dsub = cbs.shape
+        for pdf in it:
+            for q_ids, q_vecs, c_ids, c_codes in zip(
+                pdf["q_ids"], pdf["q_vecs"], pdf["c_ids"], pdf["c_codes"]
+            ):
+                qi = np.asarray(q_ids, dtype=np.int64)
+                ci = np.asarray(c_ids, dtype=np.int64)
+                q = np.stack(q_vecs).astype(np.float32)
+                q = q / np.linalg.norm(q, axis=1, keepdims=True)
+                cc = np.stack([np.asarray(c, dtype=np.int64) for c in c_codes])
+                # ADC: one (nq × ksub) GEMM per subspace builds the LUTs,
+                # then the whole (nq × nc) tile is m table gathers
+                adc = np.zeros((len(qi), len(ci)), dtype=np.float32)
+                for i in range(mm):
+                    lut = q[:, i * dsub : (i + 1) * dsub] @ cbs[i].T  # (nq, ksub)
+                    adc += lut[:, cc[:, i]]
+                adc[qi[:, None] == ci[None, :]] = -np.inf  # mask self
+                kk = min(shortlist_k, adc.shape[1])
+                order = np.lexsort((ci[None, :].repeat(len(qi), 0), -adc), axis=1)
+                top = order[:, :kk]
+                sc = np.take_along_axis(adc, top, axis=1).ravel()
+                keep = sc > -np.inf
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(qi, kk)[keep],
+                        "neighbor_id": ci[top].ravel()[keep],
+                        "cosine": sc[keep].astype(np.float64),
+                    }
+                )
+
+    approx = tiles.mapInPandas(scan, schema=ann.SCORED_SCHEMA)
+    # global ADC shortlist: refine·k per query across code blocks (the
+    # "cosine" here is the ADC estimate — internal only, replaced below)
+    shortlist = ann._topk(approx, shortlist_k).select("vec_id", "neighbor_id")
+    # exact refine: true-vector re-score of the shortlist, final top-k
+    return ann._topk(ann._score_candidates(emb, shortlist), k)
