@@ -38,6 +38,13 @@ vectors (the code blocks are the broadcast side — 8 GB per 10^9 vectors
 vs 512 GB raw); refine fetches ``refine·k`` true vectors per query by
 id-keyed join. ADC tiles are float32 and bounded by
 ``block_size × code_block``.
+
+``ivfpq_ann_topk`` composes this with the coarse inverted file
+(FAISS's IVFPQ): the IVF prunes WHICH members are scored (nprobe cells
+per query), PQ prunes WHAT is shipped and scored (codes, not vectors) —
+together the scan cost is (cluster_size/nprobe-th of the corpus) ×
+(m gathers) per query, and the only full-vector traffic anywhere is the
+query side (∝ nprobe) plus the refine fetch (∝ refine·k).
 """
 
 from __future__ import annotations
@@ -161,6 +168,22 @@ def pq_ann_topk(
     qb = ann._vec_blocks(emb, block_size, "q_")
     tiles = qb.join(F.broadcast(cb_blocks))
     shortlist_k = max(k * refine, k)
+    approx = _adc_scan(tiles, bc, shortlist_k)
+    # global ADC shortlist: refine·k per query across code blocks (the
+    # "cosine" here is the ADC estimate — internal only, replaced below)
+    shortlist = ann._topk(approx, shortlist_k).select("vec_id", "neighbor_id")
+    # exact refine: true-vector re-score of the shortlist, final top-k
+    return ann._topk(ann._score_candidates(emb, shortlist), k)
+
+
+def _adc_scan(tiles: DataFrame, bc, shortlist_k: int) -> DataFrame:
+    """Shared ADC tile scan: each input row is one (query-block ×
+    code-block) tile with aligned (q_ids, q_vecs) / (c_ids, c_codes)
+    arrays; one (nq × ksub) GEMM per subspace builds each query's lookup
+    tables, the whole (nq × nc) tile is m table gathers, and only the
+    per-tile top-``shortlist_k`` (ADC desc, neighbor asc) rows are
+    emitted. Scores are ADC estimates — internal only, always replaced
+    by the exact refine stage."""
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cbs = bc.value  # (m, ksub, dsub) float32
@@ -194,9 +217,137 @@ def pq_ann_topk(
                     }
                 )
 
-    approx = tiles.mapInPandas(scan, schema=ann.SCORED_SCHEMA)
-    # global ADC shortlist: refine·k per query across code blocks (the
-    # "cosine" here is the ADC estimate — internal only, replaced below)
+    return tiles.mapInPandas(scan, schema=ann.SCORED_SCHEMA)
+
+
+ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("codes", T.ArrayType(T.ShortType())),
+    ]
+)
+
+
+def ivfpq_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 64,
+    nprobe: int = 1,
+    m: int = 8,
+    ksub: int = 256,
+    refine: int = 4,
+    sample_cap: int = 4096,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: the composed production index (coarse inverted file ×
+    product-quantized codes — FAISS's IVFPQ shape). The inverted file
+    prunes WHICH vectors are scored (each query visits only its
+    ``nprobe`` nearest cells); PQ prunes WHAT is shipped and scored
+    (8 int16 codes per member instead of the full vector); the exact
+    refine stage re-scores the shortlist with true vectors so returned
+    scores are exact and only recall is approximate.
+
+    One fit pass (driver sample → coarse centroids + PQ codebooks, both
+    broadcast), one map-only assign+encode pass over the corpus, then
+    per-cell ADC tiles exactly like ``pq_ann_topk``'s — queries group by
+    probed cell (each query crosses the shuffle nprobe times), members
+    ship once as codes. Unlike ``ann.ivf_ann_topk`` there is no phase-2
+    completeness bound — this is the recall-tuned variant (recall pinned
+    by tests on the clustered fixture), not the certified-exact one."""
+    spark = emb.sparkSession
+    sample = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(sample_cap).collect()
+    )
+    mat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    centroids = ann._kmeans_fit(mat, n_cells)
+    centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    dsub = dim // m
+    codebooks = np.stack(
+        [
+            ann._kmeans_fit(
+                np.ascontiguousarray(mat[:, i * dsub : (i + 1) * dsub]), ksub
+            )
+            for i in range(m)
+        ]
+    )
+    bc_cent = spark.sparkContext.broadcast(centroids)
+    bc_cb32 = spark.sparkContext.broadcast(codebooks.astype(np.float32))
+    bc_cb = spark.sparkContext.broadcast(codebooks)
+
+    def assign_encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents, cbs = bc_cent.value, bc_cb.value
+        mm, _ks, ds = cbs.shape
+        c2 = (cbs * cbs).sum(axis=2)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cell = (v @ cents.T).argmax(axis=1).astype(np.int32)
+            cds = np.empty((len(v), mm), dtype=np.int16)
+            for i in range(mm):
+                sub = v[:, i * ds : (i + 1) * ds]
+                cds[:, i] = (c2[i][None, :] - 2.0 * (sub @ cbs[i].T)).argmin(
+                    axis=1
+                ).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell,
+                    "codes": list(cds),
+                }
+            )
+
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(assign_encode, schema=ASSIGN_SCHEMA)
+        .cache()
+    )
+    # member code blocks per cell: codes only, one row per cell
+    members = F.sort_array(F.collect_list(F.struct(F.col("vec_id"), F.col("codes"))))
+    cell_codes = (
+        assigned.groupBy("cell")
+        .agg(members.alias("m"))
+        .select(
+            "cell",
+            F.transform("m", lambda s: s.vec_id).alias("c_ids"),
+            F.transform("m", lambda s: s.codes).alias("c_codes"),
+        )
+    )
+
+    def probes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc_cent.value
+        npb = min(nprobe, len(cents))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ cents.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), npb),
+                    "cell": top.ravel().astype(np.int32),
+                }
+            )
+
+    probe_cells = emb.select("vec_id", "embedding").mapInPandas(
+        probes,
+        schema=T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        ),
+    )
+    qb = ann._bucket_pack(
+        probe_cells.join(emb.select("vec_id", "embedding"), "vec_id"),
+        ["cell"], "vec_id", "q_",
+    )
+    shortlist_k = max(k * refine, k)
+    approx = _adc_scan(qb.join(cell_codes, "cell"), bc_cb32, shortlist_k)
     shortlist = ann._topk(approx, shortlist_k).select("vec_id", "neighbor_id")
-    # exact refine: true-vector re-score of the shortlist, final top-k
     return ann._topk(ann._score_candidates(emb, shortlist), k)

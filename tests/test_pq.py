@@ -130,5 +130,49 @@ def test_pq_refine_widens_recall(spark):
     assert r1 < 1.0 and r8 == 1.0, (r1, r8)
 
 
+def test_ivfpq_recall_and_exact_scores(spark):
+    """The composed IVF-PQ index (coarse cells prune WHICH members are
+    scored, codes prune WHAT ships) still recovers full recall on the
+    clustered fixture at the graded geometry (64 cells / nprobe 1 /
+    refine 4 — one natural cluster per cell, like `ivf_ann_topk`'s
+    graded config), and every returned score is the exact round6 cosine
+    (shared refine contract)."""
+    emb = spark.read.parquet(ensure_clustered_embeddings(0.001)).select(
+        "vec_id", "embedding"
+    )
+    got = pq.ivfpq_ann_topk(emb, k=5).toPandas()
+    want = ann.broadcast_cosine_topk(emb, k=5).toPandas()
+    want_pairs = set(zip(want.vec_id, want.neighbor_id))
+    recall = len(set(zip(got.vec_id, got.neighbor_id)) & want_pairs) / len(
+        want_pairs
+    )
+    assert recall == 1.0, recall  # deterministic end to end
+
+    raw = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for row in got.itertuples():
+        a, b = raw[row.vec_id], raw[row.neighbor_id]
+        cos = float(a @ b / np.sqrt((a @ a) * (b @ b)))
+        cos = float(np.sign(cos) * np.floor(abs(cos) * 1e6 + 0.5) / 1e6)
+        assert row.cosine == cos, (row, cos)
+
+
+def test_ivfpq_output_contract(spark):
+    """Output schema/shape contract: k rows per query, ranks 1..k, the
+    family's TOPK schema — interchangeable with every other ANN path."""
+    emb = spark.read.parquet(ensure_clustered_embeddings(0.001)).select(
+        "vec_id", "embedding"
+    )
+    got = pq.ivfpq_ann_topk(emb, k=3).toPandas()
+    n = emb.count()
+    assert list(got.columns) == ["vec_id", "rank", "neighbor_id", "cosine"]
+    assert len(got) == 3 * n
+    per = got.groupby("vec_id")["rank"].agg(["min", "max", "count"])
+    assert (per["min"] == 1).all() and (per["max"] == 3).all()
+    assert (per["count"] == 3).all()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
