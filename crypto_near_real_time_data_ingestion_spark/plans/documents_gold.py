@@ -1238,6 +1238,121 @@ FROM l LEFT JOIN cnt c ON l.doc_id = c.doc_id
 """
 
 
+def doc_dedup_spans(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """The REMOVAL form of ``doc_dup_span_stats``: emit each document's
+    text with every cross-document duplicated n-gram span cut out — the
+    ExactSubstr dedup step itself (Lee et al.: remove the repeated
+    substring, keep the unique remainder), at fixed n-gram granularity.
+    Output text is whitespace-canonical (kept tokens joined by single
+    spaces, lowercased — the same token stream every text operator here
+    ranks on).
+
+    Plan shape: identical to the stats op through the matched-starts
+    groupBy (one explode ∝ token occurrences, partial-agg
+    ``min<>max`` occurs-elsewhere test, one groupBy(doc_id) of matched
+    starts); the cut itself is IN-ROW Catalyst — covered positions via
+    ``array_distinct(flatten(...))``, kept positions via
+    ``array_except`` over the position sequence (hash-based, O(tokens)),
+    token gather via ``transform`` + ``element_at`` — no second shuffle,
+    no Python."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+            ).alias("g"),
+        ),
+    )
+    exploded = d.select("doc_id", F.explode(gram).alias("x")).select(
+        "doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g")
+    )
+    cross = (
+        exploded.groupBy("g")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("crossdup"))
+        .filter("crossdup")
+        .select("g")
+    )
+    starts = (
+        exploded.join(cross, "g")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(F.transform("starts", lambda s: F.sequence(s, s + (n - 1))))
+    )
+    kept_pos = F.array_sort(
+        F.array_except(F.sequence(F.lit(1), F.size("toks")), covered)
+    )
+    kept = F.transform(kept_pos, lambda p: F.element_at(F.col("toks"), p))
+    return (
+        d.join(starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.when(F.col("starts").isNull(), F.col("toks"))
+            .otherwise(kept)
+            .alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kept").cast("long").alias("n_kept"),
+            F.array_join("kept", " ").alias("text_clean"),
+        )
+    )
+
+
+DOC_DEDUP_SPANS_ORACLE_SQL = """
+WITH l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+p AS (
+    SELECT doc_id,
+           unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS pos,
+           toks AS toks
+    FROM l
+),
+pg AS (
+    SELECT doc_id, pos,
+           toks[pos] || ' ' || toks[pos + 1] || ' ' || toks[pos + 2] AS g
+    FROM p
+),
+cross_g AS (SELECT g FROM pg GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+m AS (SELECT pg.doc_id, pg.pos FROM pg JOIN cross_g ON pg.g = cross_g.g),
+cov AS (
+    SELECT DISTINCT doc_id, pos + off AS cp
+    FROM m, (SELECT unnest(generate_series(0, 2)) AS off)
+),
+allpos AS (
+    SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+    FROM l
+),
+kept AS (
+    SELECT a.doc_id,
+           coalesce(
+               string_agg(a.toks[a.pos], ' ' ORDER BY a.pos)
+                   FILTER (WHERE c.cp IS NULL),
+               '') AS text_clean,
+           CAST(count(*) FILTER (WHERE c.cp IS NULL) AS BIGINT) AS n_kept
+    FROM allpos a
+    LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.pos = c.cp
+    GROUP BY a.doc_id
+)
+SELECT l.doc_id,
+       CAST(len(l.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(k.text_clean, '') AS text_clean
+FROM l LEFT JOIN kept k ON l.doc_id = k.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # unigram log-probability quality score (CCNet-style perplexity proxy)
 # ---------------------------------------------------------------------------

@@ -220,3 +220,67 @@ def test_unigram_logprob_matches_oracle(spark):
     # made of the corpus's most common tokens
     pdf = got.toPandas()
     assert pdf["mean_neg_logprob"].std() > 0
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span REMOVAL (the ExactSubstr cut itself)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_spans_matches_oracle(spark):
+    from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
+        DOC_DEDUP_SPANS_ORACLE_SQL,
+        doc_dedup_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = doc_dedup_spans(docs)
+    want = duck_sql(DOC_DEDUP_SPANS_ORACLE_SQL)
+    assert_df_equal(got, want, sort_cols=["doc_id"])
+
+
+def test_dedup_spans_planted(spark):
+    """Hand-computed cuts on the stats op's planted fixture: the shared
+    trigram 'the quick brown' is removed from BOTH documents, everything
+    else survives verbatim (lowercased, whitespace-canonical)."""
+    from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
+        doc_dedup_spans,
+    )
+
+    rows = [
+        ("d1", "s", "The quick brown fox jumps"),
+        ("d2", "s", "see the quick brown dog"),
+        ("d3", "s", "entirely different words here"),
+        ("d4", "s", "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text_clean"])
+        for r in doc_dedup_spans(df).collect()
+    }
+    assert got == {
+        "d1": (5, 2, "fox jumps"),
+        "d2": (5, 2, "see dog"),
+        "d3": (4, 4, "entirely different words here"),
+        "d4": (2, 2, "too short"),
+    }
+
+
+def test_dedup_spans_consistent_with_stats(spark):
+    """The cut and the signal must agree: tokens removed per doc ==
+    n_dup_positions reported by doc_dup_span_stats, on every document of
+    the driver corpus."""
+    from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
+        doc_dedup_spans,
+        doc_dup_span_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cut = doc_dedup_spans(docs).select(
+        "doc_id", (F.col("n_tokens") - F.col("n_kept")).alias("removed")
+    )
+    sig = doc_dup_span_stats(docs).select("doc_id", "n_dup_positions")
+    diff = cut.join(sig, "doc_id").filter(
+        F.col("removed") != F.col("n_dup_positions")
+    )
+    assert diff.count() == 0
