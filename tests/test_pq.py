@@ -130,6 +130,50 @@ def test_pq_refine_widens_recall(spark):
     assert r1 < 1.0 and r8 == 1.0, (r1, r8)
 
 
+def test_pq_encode_as_stream(spark, tmp_path):
+    """Index ingest is a map-only STREAM: ``pq_encode`` applied to a
+    file stream (new vectors arriving) writes bit-identical codes to the
+    batch encode — the index-maintenance path at 100 TB is the same
+    deterministic Arrow pass, just behind readStream (no state, no
+    watermark, nothing to re-derive on restart beyond the checkpoint)."""
+    import os
+
+    path = ensure_clustered_embeddings(0.001)
+    src_dir = os.path.dirname(path)
+    schema = spark.read.parquet(path).schema
+    batch_emb = spark.read.parquet(path).select("vec_id", "embedding")
+    cbs = pq.pq_fit(batch_emb)
+    stream_emb = (
+        spark.readStream.schema(schema).parquet(src_dir).select("vec_id", "embedding")
+    )
+    out, ckpt = str(tmp_path / "codes"), str(tmp_path / "ckpt")
+    q = (
+        pq.pq_encode(stream_emb, cbs)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pq.pq_encode(batch_emb, cbs)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert all(
+        list(a) == list(b) for a, b in zip(got["codes"], want["codes"])
+    )
+
+
 def test_ivfpq_recall_and_exact_scores(spark):
     """The composed IVF-PQ index (coarse cells prune WHICH members are
     scored, codes prune WHAT ships) still recovers full recall on the
