@@ -176,21 +176,29 @@ def pq_ann_topk(
     return ann._topk(ann._score_candidates(emb, shortlist), k)
 
 
-def _adc_scan(tiles: DataFrame, bc, shortlist_k: int) -> DataFrame:
+def _adc_scan(
+    tiles: DataFrame, bc, shortlist_k: int, bc_centroids=None
+) -> DataFrame:
     """Shared ADC tile scan: each input row is one (query-block ×
     code-block) tile with aligned (q_ids, q_vecs) / (c_ids, c_codes)
     arrays; one (nq × ksub) GEMM per subspace builds each query's lookup
     tables, the whole (nq × nc) tile is m table gathers, and only the
     per-tile top-``shortlist_k`` (ADC desc, neighbor asc) rows are
-    emitted. Scores are ADC estimates — internal only, always replaced
-    by the exact refine stage."""
+    emitted. With ``bc_centroids`` (the residual-IVFPQ form) tile rows
+    carry a ``cell`` id and the decomposition q·x ≈ q·centroid(cell) +
+    q·decode(residual codes) adds the per-(query, cell) base term before
+    ranking — it is what makes shortlists comparable ACROSS cells when
+    nprobe > 1. Scores are ADC estimates — internal only, always
+    replaced by the exact refine stage."""
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cbs = bc.value  # (m, ksub, dsub) float32
+        cents = bc_centroids.value if bc_centroids is not None else None
         mm, _ks, dsub = cbs.shape
         for pdf in it:
-            for q_ids, q_vecs, c_ids, c_codes in zip(
-                pdf["q_ids"], pdf["q_vecs"], pdf["c_ids"], pdf["c_codes"]
+            cells = pdf["cell"] if cents is not None else [None] * len(pdf)
+            for q_ids, q_vecs, c_ids, c_codes, cell in zip(
+                pdf["q_ids"], pdf["q_vecs"], pdf["c_ids"], pdf["c_codes"], cells
             ):
                 qi = np.asarray(q_ids, dtype=np.int64)
                 ci = np.asarray(c_ids, dtype=np.int64)
@@ -199,7 +207,11 @@ def _adc_scan(tiles: DataFrame, bc, shortlist_k: int) -> DataFrame:
                 cc = np.stack([np.asarray(c, dtype=np.int64) for c in c_codes])
                 # ADC: one (nq × ksub) GEMM per subspace builds the LUTs,
                 # then the whole (nq × nc) tile is m table gathers
-                adc = np.zeros((len(qi), len(ci)), dtype=np.float32)
+                if cents is not None:
+                    base = (q @ cents[int(cell)]).astype(np.float32)
+                    adc = np.repeat(base[:, None], len(ci), axis=1)
+                else:
+                    adc = np.zeros((len(qi), len(ci)), dtype=np.float32)
                 for i in range(mm):
                     lut = q[:, i * dsub : (i + 1) * dsub] @ cbs[i].T  # (nq, ksub)
                     adc += lut[:, cc[:, i]]
@@ -241,12 +253,14 @@ def ivfpq_ann_topk(
     dim: int = 64,
 ) -> DataFrame:
     """IVF-PQ: the composed production index (coarse inverted file ×
-    product-quantized codes — FAISS's IVFPQ shape). The inverted file
-    prunes WHICH vectors are scored (each query visits only its
-    ``nprobe`` nearest cells); PQ prunes WHAT is shipped and scored
-    (8 int16 codes per member instead of the full vector); the exact
-    refine stage re-scores the shortlist with true vectors so returned
-    scores are exact and only recall is approximate.
+    product-quantized RESIDUAL codes — FAISS's IVFPQ shape). The
+    inverted file prunes WHICH vectors are scored (each query visits
+    only its ``nprobe`` nearest cells); PQ prunes WHAT is shipped and
+    scored (8 int16 codes per member instead of the full vector); codes
+    quantize the residual x − centroid(x) — the in-cluster signal —
+    and ADC reconstructs q·x as q·centroid + q·decode(residual); the
+    exact refine stage re-scores the shortlist with true vectors so
+    returned scores are exact and only recall is approximate.
 
     One fit pass (driver sample → coarse centroids + PQ codebooks, both
     broadcast), one map-only assign+encode pass over the corpus, then
@@ -264,10 +278,18 @@ def ivfpq_ann_topk(
     centroids = ann._kmeans_fit(mat, n_cells)
     centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     dsub = dim // m
+    # RESIDUAL codebooks (the standard IVFPQ recipe): quantize
+    # x − centroid(x), not x. The raw vector is dominated by the cluster
+    # center, so raw-vector codes collapse within a cell (every member
+    # quantizes alike and ADC cannot rank in-cluster neighbors — measured
+    # recall 0.02 on the 50k fixture); the residual IS the in-cluster
+    # signal, and q·x = q·centroid + q·residual decomposes exactly.
+    cell_of = (mat @ centroids.T).argmax(axis=1)
+    resid = mat - centroids[cell_of]
     codebooks = np.stack(
         [
             ann._kmeans_fit(
-                np.ascontiguousarray(mat[:, i * dsub : (i + 1) * dsub]), ksub
+                np.ascontiguousarray(resid[:, i * dsub : (i + 1) * dsub]), ksub
             )
             for i in range(m)
         ]
@@ -286,9 +308,10 @@ def ivfpq_ann_topk(
             v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             v = v / np.linalg.norm(v, axis=1, keepdims=True)
             cell = (v @ cents.T).argmax(axis=1).astype(np.int32)
+            r = v - cents[cell]
             cds = np.empty((len(v), mm), dtype=np.int16)
             for i in range(mm):
-                sub = v[:, i * ds : (i + 1) * ds]
+                sub = r[:, i * ds : (i + 1) * ds]
                 cds[:, i] = (c2[i][None, :] - 2.0 * (sub @ cbs[i].T)).argmin(
                     axis=1
                 ).astype(np.int16)
@@ -348,6 +371,9 @@ def ivfpq_ann_topk(
         ["cell"], "vec_id", "q_",
     )
     shortlist_k = max(k * refine, k)
-    approx = _adc_scan(qb.join(cell_codes, "cell"), bc_cb32, shortlist_k)
+    bc_cent32 = spark.sparkContext.broadcast(centroids.astype(np.float32))
+    approx = _adc_scan(
+        qb.join(cell_codes, "cell"), bc_cb32, shortlist_k, bc_centroids=bc_cent32
+    )
     shortlist = ann._topk(approx, shortlist_k).select("vec_id", "neighbor_id")
     return ann._topk(ann._score_candidates(emb, shortlist), k)

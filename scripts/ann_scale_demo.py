@@ -52,12 +52,29 @@ def main() -> None:
         print(f"# {label}: {[round(t, 1) for t in times]}", file=sys.stderr)
         return min(times)
 
+    from crypto_near_real_time_data_ingestion_spark.operators import pq
+
     gemm_s = best_of("gemm", lambda: ann.broadcast_cosine_topk(emb))
     ivf_s = best_of(
         "ivf", lambda: ann.ivf_ann_topk(emb, n_cells=IVF_CELLS, nprobe=IVF_NPROBE)
     )
     lsh_s = best_of(
         "lsh", lambda: ann.lsh_ann_topk(emb, n_bits=LSH_BITS, n_tables=LSH_TABLES)
+    )
+    # IVFPQ is measured on the WIDE-noise variant of the fixture: the
+    # default fixture's in-cluster cosine gaps (~1e-5) sit below any
+    # 8-32-byte code's resolution, so code-based ranking there says
+    # nothing (measured 0.02 recall for every config); noise_scale=3.0
+    # is the realistic embedding regime (gaps O(0.01)), where the
+    # compression↔recall contract is visible and pinned by test_pq.py
+    emb_wide = spark.read.parquet(
+        ensure_clustered_embeddings(SF, noise_scale=3.0)
+    ).select("vec_id", "embedding")
+    ivfpq_s = best_of(
+        "ivfpq(wide,m=32)",
+        lambda: pq.ivfpq_ann_topk(
+            emb_wide, n_cells=IVF_CELLS, nprobe=IVF_NPROBE, m=32
+        ),
     )
 
     # exactness on the full output (not a sample): the speedup must not
@@ -76,6 +93,19 @@ def main() -> None:
     assert sorted_pdf(
         ann.lsh_ann_topk(emb, n_bits=LSH_BITS, n_tables=LSH_TABLES)
     ).equals(want), "LSH output diverged from exact"
+    # IVF-PQ is the recall-tuned composed index (codes, no phase-2
+    # bound): report measured recall (vs ITS corpus's exact top-k)
+    # instead of asserting equality
+    want_wide = sorted_pdf(
+        ann.ivf_ann_topk(emb_wide, n_cells=IVF_CELLS, nprobe=2)
+    )  # exact by construction (branch-and-bound)
+    got_pq = pq.ivfpq_ann_topk(
+        emb_wide, n_cells=IVF_CELLS, nprobe=IVF_NPROBE, m=32
+    ).toPandas()
+    want_pairs = set(zip(want_wide.vec_id, want_wide.neighbor_id))
+    ivfpq_recall = len(
+        set(zip(got_pq.vec_id, got_pq.neighbor_id)) & want_pairs
+    ) / len(want_pairs)
 
     print(
         json.dumps(
@@ -87,8 +117,11 @@ def main() -> None:
                 "gemm_s": round(gemm_s, 1),
                 "ivf_s": round(ivf_s, 1),
                 "lsh_s": round(lsh_s, 1),
+                "ivfpq_s": round(ivfpq_s, 1),
                 "speedup_ivf": round(gemm_s / ivf_s, 2),
                 "speedup_lsh": round(gemm_s / lsh_s, 2),
+                "speedup_ivfpq": round(gemm_s / ivfpq_s, 2),
+                "ivfpq_recall_at_k": round(ivfpq_recall, 4),
                 "exact_match": True,
             },
             separators=(",", ":"),

@@ -203,6 +203,35 @@ def test_ivfpq_recall_and_exact_scores(spark):
         assert row.cosine == cos, (row, cos)
 
 
+def test_ivfpq_recall_curve_on_wide_fixture(spark):
+    """The compression↔recall trade is the operator's actual contract,
+    so pin the measured curve where it is non-trivial: the wide-noise
+    fixture (in-cluster cosine gaps O(0.01) — the realistic embedding
+    regime; the default fixture's 1e-5 gaps are below ANY 8-byte code's
+    resolution) at sf0.1: 5000 vectors, cluster size ~78 ≫ the refine=4
+    shortlist of 20, so nothing is recovered by coverage alone.
+    Measured (deterministic, seeded): m=8 → 0.59, m=32 → 0.998,
+    m=32+refine16 → 1.0."""
+    emb = spark.read.parquet(
+        ensure_clustered_embeddings(0.1, noise_scale=3.0)
+    ).select("vec_id", "embedding")
+    want = ann.broadcast_cosine_topk(emb, k=5).toPandas()
+    want_pairs = set(zip(want.vec_id, want.neighbor_id))
+
+    def recall(m, refine):
+        got = pq.ivfpq_ann_topk(emb, k=5, m=m, refine=refine).toPandas()
+        return len(set(zip(got.vec_id, got.neighbor_id)) & want_pairs) / len(
+            want_pairs
+        )
+
+    r8 = recall(8, 4)
+    r32 = recall(32, 4)
+    r32_wide = recall(32, 16)
+    assert r8 < r32, (r8, r32)  # more code bytes → better ranking
+    assert r32 >= 0.99, r32
+    assert r32_wide == 1.0, r32_wide
+
+
 def test_ivfpq_output_contract(spark):
     """Output schema/shape contract: k rows per query, ranks 1..k, the
     family's TOPK schema — interchangeable with every other ANN path."""
