@@ -76,6 +76,15 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = ZBITS) -> DataFrame
         if dt.startswith("timestamp"):
             # covers TIMESTAMP_NTZ too (session TZ is pinned UTC)
             return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if dt == "string":
+            # order-PRESERVING 2-byte prefix rank (the Delta/Iceberg
+            # binary-truncation trick): clustering by prefix keeps the
+            # string column's own footer min/max tight, which is what
+            # predicates prune on — a hash would cluster but leave every
+            # file's min/max spanning the whole domain
+            first = F.coalesce(F.ascii(F.col(c)), F.lit(0))
+            second = F.coalesce(F.ascii(F.substring(F.col(c), 2, 1)), F.lit(0))
+            return (first * 256 + second).cast("double")
         return F.col(c).cast("double")
 
     nums = [numeric(c).alias(f"__z{i}") for i, c in enumerate(cols)]

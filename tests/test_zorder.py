@@ -91,6 +91,32 @@ def test_zorder_prunes_both_dimensions(layouts):
     assert skip["zorder"]["user_id"] >= 0.4, skip
 
 
+def test_zorder_string_dimension_prunes(spark, tmp_path):
+    """String columns join the curve via an order-PRESERVING 2-byte
+    prefix rank (the Delta binary-truncation trick), so the string
+    column's own footer min/max stays tight and a point predicate
+    (`event_type = '…'`) prunes files — while the ts-linear layout
+    spreads every type across every file."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    types = sorted(
+        r["event_type"]
+        for r in events.select("event_type").distinct().collect()
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "l")
+    write_zordered(events, zpath, ["ts", "event_type"], N_FILES)
+    write_linear(events, lpath, "ts", N_FILES)
+    t = types[0]
+    z_skip = file_skip_fraction(zpath, "event_type", t, t)
+    l_skip = file_skip_fraction(lpath, "event_type", t, t)
+    assert l_skip == 0.0, l_skip
+    assert z_skip >= 0.25, (z_skip, types)
+    # and the ts dimension still prunes on the z-ordered layout
+    pdf = events.select("ts").toPandas()
+    ts_lo, ts_hi = pdf["ts"].min(), pdf["ts"].max()
+    band = (ts_lo + (ts_hi - ts_lo) * 0.45, ts_lo + (ts_hi - ts_lo) * 0.55)
+    assert file_skip_fraction(zpath, "ts", *band) >= 0.25
+
+
 def test_zvalue_is_pure_catalyst(spark):
     """The z-value is whole-stage-codegen bit math — no UDF, no Python
     in the layout job's plan."""
