@@ -251,6 +251,7 @@ def ivfpq_ann_topk(
     refine: int = 4,
     sample_cap: int = 4096,
     dim: int = 64,
+    sub_blocks: int = 1,
 ) -> DataFrame:
     """IVF-PQ: the composed production index (coarse inverted file ×
     product-quantized RESIDUAL codes — FAISS's IVFPQ shape). The
@@ -268,7 +269,14 @@ def ivfpq_ann_topk(
     probed cell (each query crosses the shuffle nprobe times), members
     ship once as codes. Unlike ``ann.ivf_ann_topk`` there is no phase-2
     completeness bound — this is the recall-tuned variant (recall pinned
-    by tests on the clustered fixture), not the certified-exact one."""
+    by tests on the clustered fixture), not the certified-exact one.
+    ``sub_blocks`` hash-splits giant cells (both the query packs and the
+    code packs) so tile memory is bounded by sub-block size, not cell
+    size (equality pinned by test). Contract caveat shared with every
+    nprobe-bounded index (FAISS returns -1 ids in the same case): a
+    query whose probed cells contain no OTHER member emits no rows —
+    raise ``nprobe`` when the corpus is skewed enough to have singleton
+    cells."""
     spark = emb.sparkSession
     sample = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(sample_cap).collect()
@@ -323,15 +331,23 @@ def ivfpq_ann_topk(
                 }
             )
 
-    assigned = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(assign_encode, schema=ASSIGN_SCHEMA)
-        .cache()
+    # single consumer (cell_codes) — no cache: caching here would
+    # materialize the whole encoded corpus in the block manager for one
+    # read and leak it (never unpersisted) on every invocation
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign_encode, schema=ASSIGN_SCHEMA
     )
-    # member code blocks per cell: codes only, one row per cell
+    # member code blocks per (cell, sub): codes only; sub_blocks > 1
+    # hash-splits giant cells so one tile never outgrows a task (the
+    # same bound ann._bucket_pack provides for the full-vector tiles)
     members = F.sort_array(F.collect_list(F.struct(F.col("vec_id"), F.col("codes"))))
+    ckeys = [F.col("cell")]
+    if sub_blocks > 1:
+        ckeys.append(
+            F.pmod(F.xxhash64("vec_id"), F.lit(sub_blocks)).alias("sub")
+        )
     cell_codes = (
-        assigned.groupBy("cell")
+        assigned.groupBy(*ckeys)
         .agg(members.alias("m"))
         .select(
             "cell",
@@ -368,7 +384,7 @@ def ivfpq_ann_topk(
     )
     qb = ann._bucket_pack(
         probe_cells.join(emb.select("vec_id", "embedding"), "vec_id"),
-        ["cell"], "vec_id", "q_",
+        ["cell"], "vec_id", "q_", sub_blocks,
     )
     shortlist_k = max(k * refine, k)
     bc_cent32 = spark.sparkContext.broadcast(centroids.astype(np.float32))

@@ -1134,6 +1134,46 @@ FROM c
 DUP_SPAN_N = 3
 
 
+def _cross_dup_starts(docs: DataFrame, n: int):
+    """Shared matched-starts core of ``doc_dup_span_stats`` (the signal)
+    and ``doc_dedup_spans`` (the cut): tokenized docs ``d`` =
+    (doc_id, toks) plus ``starts`` = (doc_id, positions of n-grams that
+    also occur in ANOTHER document). One explode ∝ token occurrences,
+    partial-agg ``min(doc_id) <> max(doc_id)`` occurs-elsewhere test (no
+    countDistinct), one groupBy(doc_id) of the matched starts. Factored
+    so a tokenization or window fix can never drift between the two ops
+    (their consistency is pinned by test)."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+            ).alias("g"),
+        ),
+    )
+    exploded = d.select("doc_id", F.explode(gram).alias("x")).select(
+        "doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g")
+    )
+    cross = (
+        exploded.groupBy("g")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("crossdup"))
+        .filter("crossdup")
+        .select("g")
+    )
+    starts = (
+        exploded.join(cross, "g")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    return d, starts
+
+
 def doc_dup_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     """Per document: how much of it is covered by token n-grams that also
     occur in ANOTHER document — the cross-document repeated-span signal
@@ -1151,37 +1191,7 @@ def doc_dup_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     flattened per-start windows) after a single groupBy(doc_id) of the
     matched starts, so no per-position rows ever shuffle.
     """
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
-    d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
-    idx = F.when(
-        F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
-            ).alias("g"),
-        ),
-    )
-    pos_grams = d.select(
-        "doc_id", F.size("toks").cast("long").alias("n_tokens"), gram.alias("pg")
-    )
-    exploded = pos_grams.select(
-        "doc_id", F.explode("pg").alias("x")
-    ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
-    cross = (
-        exploded.groupBy("g")
-        .agg((F.min("doc_id") != F.max("doc_id")).alias("crossdup"))
-        .filter("crossdup")
-        .select("g")
-    )
-    starts = (
-        exploded.join(cross, "g")
-        .groupBy("doc_id")
-        .agg(F.collect_list("pos").alias("starts"))
-    )
+    d, starts = _cross_dup_starts(docs, n)
     covered = F.size(
         F.array_distinct(
             F.flatten(
@@ -1189,7 +1199,7 @@ def doc_dup_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
             )
         )
     ).cast("long")
-    base = pos_grams.select("doc_id", "n_tokens")
+    base = d.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
     out = base.join(starts, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
@@ -1248,41 +1258,13 @@ def doc_dedup_spans(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     ranks on).
 
     Plan shape: identical to the stats op through the matched-starts
-    groupBy (one explode ∝ token occurrences, partial-agg
-    ``min<>max`` occurs-elsewhere test, one groupBy(doc_id) of matched
-    starts); the cut itself is IN-ROW Catalyst — covered positions via
-    ``array_distinct(flatten(...))``, kept positions via
+    groupBy (``_cross_dup_starts`` — literally shared code, so the two
+    ops can never drift); the cut itself is IN-ROW Catalyst — covered
+    positions via ``array_distinct(flatten(...))``, kept positions via
     ``array_except`` over the position sequence (hash-based, O(tokens)),
     token gather via ``transform`` + ``element_at`` — no second shuffle,
     no Python."""
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
-    d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
-    idx = F.when(
-        F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
-            ).alias("g"),
-        ),
-    )
-    exploded = d.select("doc_id", F.explode(gram).alias("x")).select(
-        "doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g")
-    )
-    cross = (
-        exploded.groupBy("g")
-        .agg((F.min("doc_id") != F.max("doc_id")).alias("crossdup"))
-        .filter("crossdup")
-        .select("g")
-    )
-    starts = (
-        exploded.join(cross, "g")
-        .groupBy("doc_id")
-        .agg(F.collect_list("pos").alias("starts"))
-    )
+    d, starts = _cross_dup_starts(docs, n)
     covered = F.array_distinct(
         F.flatten(F.transform("starts", lambda s: F.sequence(s, s + (n - 1))))
     )

@@ -42,9 +42,15 @@ ZBITS = 16  # bits per dimension; 2 dims × 16 bits fit a positive int32
 def _normalize_to_bits(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     """Scale a numeric/timestamp column to an integer rank in
     [0, 2^bits) via min/max bounds (constant-foldable once the bounds
-    are literal). Degenerate ranges (min == max) map to 0."""
+    are literal). Degenerate ranges (min == max) map to 0, and NULLs
+    rank 0 too (they must land SOMEWHERE deterministic; without the
+    coalesce, ``F.least`` would skip the null and silently rank them
+    as the TOP bucket, widening that file's ranges on the other
+    dimension)."""
     span = cmax - cmin
-    frac = F.when(span > 0, (col - cmin) / span).otherwise(F.lit(0.0))
+    frac = F.coalesce(
+        F.when(span > 0, (col - cmin) / span), F.lit(0.0)
+    )
     top = F.lit((1 << bits) - 1)
     return F.least(F.floor(frac * (1 << bits)).cast("long"), top.cast("long"))
 
@@ -77,13 +83,20 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = ZBITS) -> DataFrame
             # covers TIMESTAMP_NTZ too (session TZ is pinned UTC)
             return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
         if dt == "string":
-            # order-PRESERVING 2-byte prefix rank (the Delta/Iceberg
+            # order-preserving 2-byte prefix rank (the Delta/Iceberg
             # binary-truncation trick): clustering by prefix keeps the
             # string column's own footer min/max tight, which is what
             # predicates prune on — a hash would cluster but leave every
-            # file's min/max spanning the whole domain
-            first = F.coalesce(F.ascii(F.col(c)), F.lit(0))
-            second = F.coalesce(F.ascii(F.substring(F.col(c), 2, 1)), F.lit(0))
+            # file's min/max spanning the whole domain. F.ascii returns
+            # the full Unicode CODEPOINT (can exceed 255), so clamp each
+            # position to 255: the map stays weakly monotone (never
+            # inverts string order — non-ASCII just coarsens into one
+            # top bucket per position) instead of overflowing the radix.
+            first = F.least(F.coalesce(F.ascii(F.col(c)), F.lit(0)), F.lit(255))
+            second = F.least(
+                F.coalesce(F.ascii(F.substring(F.col(c), 2, 1)), F.lit(0)),
+                F.lit(255),
+            )
             return (first * 256 + second).cast("double")
         return F.col(c).cast("double")
 
@@ -92,6 +105,11 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = ZBITS) -> DataFrame
     bounds = base.agg(
         F.min("__z0"), F.max("__z0"), F.min("__z1"), F.max("__z1")
     ).first()
+    if any(x is None for x in bounds):
+        raise ValueError(
+            f"zorder_value: no non-null values to rank in {cols} "
+            "(empty input or an all-null column)"
+        )
     lo0, hi0, lo1, hi1 = (F.lit(float(x)) for x in bounds)
     r0 = _normalize_to_bits(F.col("__z0"), lo0, hi0, bits)
     r1 = _normalize_to_bits(F.col("__z1"), lo1, hi1, bits)

@@ -232,6 +232,19 @@ def test_ivfpq_recall_curve_on_wide_fixture(spark):
     assert r32_wide == 1.0, r32_wide
 
 
+def test_ivfpq_sub_blocks_identical(spark):
+    """Hash-splitting cells into bounded sub-tiles (the giant-cell
+    memory knob) must not change a row: per-tile shortlists merge under
+    the same total order regardless of how a cell's members and probing
+    queries are split."""
+    emb = spark.read.parquet(ensure_clustered_embeddings(0.001)).select(
+        "vec_id", "embedding"
+    )
+    whole = _pdf_sorted(pq.ivfpq_ann_topk(emb, k=5))
+    split = _pdf_sorted(pq.ivfpq_ann_topk(emb, k=5, sub_blocks=3))
+    assert split.equals(whole)
+
+
 def test_ivfpq_output_contract(spark):
     """Output schema/shape contract: k rows per query, ranks 1..k, the
     family's TOPK schema — interchangeable with every other ANN path."""

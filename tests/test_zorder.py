@@ -40,11 +40,6 @@ def layouts(spark, tmp_path_factory):
     return spark, events, paths
 
 
-def _mid_band(lo, hi, frac=0.1):
-    span = hi - lo
-    return lo + span * 0.45, lo + span * 0.55 if frac == 0.1 else hi
-
-
 def test_zorder_roundtrip_lossless(layouts):
     spark, events, paths = layouts
     got = spark.read.parquet(paths["zorder"])
