@@ -205,10 +205,22 @@ class ParquetMergeSink:
                     except FileNotFoundError:
                         pass
 
-    def compact(self, spark: SparkSession) -> dict:
+    def compact(
+        self,
+        spark: SparkSession,
+        zorder_by: list[str] | None = None,
+        zorder_files: int | None = None,
+    ) -> dict:
         """Fold every committed delta (and any prior snapshot) into one
         snapshot at the current high-water batch id. Runs BETWEEN streaming
-        runs (same coordination point as checkpoint-version GC)."""
+        runs (same coordination point as checkpoint-version GC).
+
+        ``zorder_by=[colA, colB]`` additionally clusters the snapshot's
+        FILES on the Morton curve of the two columns (the lakehouse
+        ``OPTIMIZE ZORDER BY`` — `sources/layout.py`), so footer min/max
+        stats prune snapshot scans on EITHER column; content, commit
+        semantics, manifests, and GC are byte-for-byte unaffected (the
+        layout only reorders rows across files)."""
         old_through = self.compacted_through()
         deltas = self.committed_batches()
         if not deltas:
@@ -218,12 +230,20 @@ class ParquetMergeSink:
         through = max(deltas)
         src = self._live_paths()
         out = self._snapshot_path(through)
-        (
-            self._compact_frame(spark.read.parquet(*src))
-            .withColumn("__batch_id", F.lit(through))
-            .write.mode("overwrite")
-            .parquet(out)
+        frame = self._compact_frame(spark.read.parquet(*src)).withColumn(
+            "__batch_id", F.lit(through)
         )
+        if zorder_by:
+            from ..sources.layout import zorder_value
+
+            n_files = zorder_files or spark.sparkContext.defaultParallelism
+            frame = (
+                zorder_value(frame, list(zorder_by))
+                .repartitionByRange(n_files, "zvalue")
+                .sortWithinPartitions("zvalue")
+                .drop("zvalue")
+            )
+        frame.write.mode("overwrite").parquet(out)
         stats = self._footer_stats(out)
         # commit point: marker rename makes the snapshot authoritative
         tmp = self._compaction_marker() + ".tmp"
