@@ -13,10 +13,15 @@ repeated until fixpoint. Each round is ONE hash-aggregated join
 near-dup graphs the diameter is tiny (dup clusters are cliques or short
 chains), so 2–4 rounds is typical. Lineage is truncated per round with
 ``localCheckpoint`` — without it the loop builds an exponentially
-nested plan (the classic iterative-algorithm trap on Spark). At
-100 TB-scale edge counts the same loop holds; the large-star/small-star
-variant (Kiveris et al.) halves rounds on adversarial chains but the
-per-round shape — join, min-agg, compare — is identical.
+nested plan (the classic iterative-algorithm trap on Spark).
+
+Adversarial chains (diameter > max_iter — plausible at 100 TB edge
+counts) no longer raise: ``connected_components`` falls back to the
+large-star/small-star alternation of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SoCC'14), which contracts the
+graph toward per-component stars in O(log² n) rounds regardless of
+diameter — each round is still just groupBy-min + join (shuffle ∝
+edges), so the fallback keeps the exact scale shape of the fast path.
 
 The driver grades this against a DuckDB ``WITH RECURSIVE`` transitive
 min-label closure — an independent formulation of the same semantics.
@@ -81,17 +86,94 @@ def connected_components(
         if changed == 0:
             break
     if changed > 0:
-        # a silent exit here would return WRONG labels for any component
-        # whose min-label eccentricity exceeds max_iter — fail loudly so
-        # non-convergence can't masquerade as a result (raise max_iter,
-        # or switch to the large-star/small-star variant, to converge)
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — raise max_iter"
-        )
+        # diameter > max_iter: a silent exit would return WRONG labels
+        # for any component whose min-label eccentricity exceeds the
+        # round budget. Instead of raising (round-3 behavior), switch to
+        # the diameter-independent star algorithm — correctness first,
+        # and still shuffle ∝ edges per round.
+        return _star_components(vertices, edges, vertex_col, src_col, dst_col)
 
     return labels.select(
         F.col("v").alias(vertex_col), F.col("label").alias("cluster_id")
+    )
+
+
+def _star_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iter: int = 60,
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., SoCC'14): each
+    round re-points every vertex's larger neighbors (large-star) and then
+    its smaller neighborhood (small-star) at the local minimum, so every
+    component contracts to a star rooted at its min id in O(log² n)
+    rounds — INDEPENDENT of component diameter, unlike min-label
+    propagation. Per round: two groupBy-mins and two joins, shuffle ∝
+    edges; ``distinct()`` keeps the edge set canonical so convergence is
+    a plain set-stability check. 60 rounds covers n < 2^~60 at the
+    proven bound — exhausting it still fails loudly."""
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        if e.isEmpty():
+            break
+        # large-star: u's neighbors BIGGER than u re-point at
+        # m = min(Γ(u) ∪ {u}); star edges stay oriented (big, small)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: u and its (all smaller) neighbors re-point at the
+        # neighborhood min
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        e_new = (
+            ls.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()  # truncate lineage each round
+        )
+        stable = (
+            e_new.count() == e.count() and e_new.subtract(e).isEmpty()
+        )
+        e = e_new
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"_star_components did not converge in {max_iter} rounds — "
+            "edge set still changing (should be impossible below 2^60 "
+            "vertices; check for non-deterministic ids)"
+        )
+    # converged star form: every non-root vertex carries exactly one edge
+    # (v, component_min); roots and singletons label themselves
+    return (
+        vertices.select(F.col(vertex_col).alias("v"))
+        .join(e.select(F.col("u").alias("v"), F.col("v").alias("label")), "v", "left")
+        .select(
+            F.col("v").alias(vertex_col),
+            F.coalesce("label", F.col("v")).alias("cluster_id"),
+        )
     )
 
 

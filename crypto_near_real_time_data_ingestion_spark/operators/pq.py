@@ -34,10 +34,13 @@ the brief adds, like `operators/ann.py`):
 
 100 TB shape: fit is O(sample · ksub), independent of corpus size;
 encode is map-only; the scan shuffles 8-byte codes instead of 512-byte
-vectors (the code blocks are the broadcast side — 8 GB per 10^9 vectors
-vs 512 GB raw); refine fetches ``refine·k`` true vectors per query by
+vectors; refine fetches ``refine·k`` true vectors per query by
 id-keyed join. ADC tiles are float32 and bounded by
-``block_size × code_block``.
+``block_size × code_block``. Of the two scan variants, only
+``ivfpq_ann_topk`` reaches 10^9 vectors (codes are cell-keyed and
+SHUFFLED, never broadcast); the flat ``pq_ann_topk`` broadcasts its
+code blocks and is therefore bounded by the 8 GB broadcast limit
+(~10^8 vectors at m=8) — see its docstring.
 
 ``ivfpq_ann_topk`` composes this with the coarse inverted file
 (FAISS's IVFPQ): the IVF prunes WHICH members are scored (nprobe cells
@@ -158,7 +161,16 @@ def pq_ann_topk(
     (cosine desc, neighbor asc) tiebreak — the family's shared order);
     recall is governed by codebook distortion and the ``refine``
     shortlist factor. Output schema matches ``ann.broadcast_cosine_topk``
-    so recall is directly measurable against the exact result."""
+    so recall is directly measurable against the exact result.
+
+    Scale scope (r3 ADVICE): this is the FLAT-scan variant — every query
+    block scans every code block, with the encoded corpus broadcast to
+    avoid a keyless cartesian shuffle. That caps it at corpora whose PQ
+    index fits Spark's 8 GB broadcast limit (~10^8 vectors at m=8 —
+    plenty for a per-partition/per-shard scan, NOT the module
+    docstring's 10^9 figure). At 10^9+ vectors use ``ivfpq_ann_topk``,
+    which joins code blocks on their IVF cell id and never broadcasts
+    the corpus."""
     spark = emb.sparkSession
     if codebooks is None:
         codebooks = pq_fit(emb, m=m, ksub=ksub, sample_cap=sample_cap, dim=dim)

@@ -237,12 +237,21 @@ class ParquetMergeSink:
             from ..sources.layout import zorder_value
 
             n_files = zorder_files or spark.sparkContext.defaultParallelism
-            frame = (
-                zorder_value(frame, list(zorder_by))
-                .repartitionByRange(n_files, "zvalue")
-                .sortWithinPartitions("zvalue")
-                .drop("zvalue")
-            )
+            try:
+                frame = (
+                    zorder_value(frame, list(zorder_by))
+                    .repartitionByRange(n_files, "zvalue")
+                    .sortWithinPartitions("zvalue")
+                    .drop("zvalue")
+                )
+            except ValueError:
+                # degenerate fold (empty frame or an all-NULL z-order
+                # column): a plain compact() succeeds in this state, so
+                # the opt-in LAYOUT must never turn routine maintenance
+                # into a crash — write the snapshot unclustered instead
+                # (r3 ADVICE). Content/commit semantics are identical;
+                # only file ordering is lost.
+                pass
         frame.write.mode("overwrite").parquet(out)
         stats = self._footer_stats(out)
         # commit point: marker rename makes the snapshot authoritative

@@ -20,6 +20,10 @@ guard that registration stays inside the graded window:
   gold_window_stats_month         | HERE
   gold_window_stats_sliding       | HERE (streaming form stays
                                   |   driver-graded: streaming_gold_sliding)
+  gold_sessions_30m (round 4, for | test_gold_plans.py +
+    emb_ivfpq_ann_topk's slot)    |   test_property_based.py (streaming
+                                  |   form stays driver-graded:
+                                  |   streaming_sessions_30m)
 """
 
 from __future__ import annotations
@@ -60,7 +64,8 @@ def test_registration_stays_inside_graded_window():
     names = list(q)
     for must_be_early in (
         "doc_winnow_fingerprints", "emb_lsh_ann_topk", "emb_ivf_ann_topk",
-        "media_features", "media_metadata", "streaming_rank",
+        "emb_ivfpq_ann_topk", "media_features", "media_metadata",
+        "streaming_rank",
     ):
         assert names.index(must_be_early) < 10
 

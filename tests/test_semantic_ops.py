@@ -50,6 +50,46 @@ def test_emb_dup_clusters_nontrivial(spark):
     assert 1 in sizes and max(sizes) >= 2, sizes
 
 
+def test_star_fallback_on_long_path_graph(spark):
+    """A planted path graph whose diameter (59) exceeds the min-label
+    round budget (max_iter=25 default): round-3 code RAISED here; the
+    large-star/small-star fallback (Kiveris et al.) now converges in
+    O(log² n) rounds and returns the same closure an oracle derives
+    trivially (every vertex labels 0). Also pins the fallback directly
+    on a branchy graph (two components + a singleton)."""
+    from crypto_near_real_time_data_ingestion_spark.operators.clusters import (
+        _star_components,
+        connected_components,
+    )
+
+    n = 60
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_id_1", "doc_id_2"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(verts, path_edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)}, got
+
+    # direct star-algorithm pin: {0..4} chained, {10..12} chained, 99 alone
+    verts2 = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 10, 11, 12, 99]], ["doc_id"]
+    )
+    edges2 = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (4, 3), (11, 10), (12, 11)],
+        ["doc_id_1", "doc_id_2"],
+    )
+    got2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _star_components(
+            verts2, edges2, "doc_id", "doc_id_1", "doc_id_2"
+        ).collect()
+    }
+    assert got2 == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 12: 10, 99: 99}, got2
+
+
 def test_simhash_dup_clusters_matches_recursive_oracle(spark):
     """SimHash pigeonhole pairs closed into components == the DuckDB
     recursive closure over the HUGEINT-re-derived all-pairs hamming
