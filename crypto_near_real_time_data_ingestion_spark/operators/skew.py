@@ -2,8 +2,16 @@
 
 North-star requirement: "skew from hot conversations is handled by
 salting conv_id before the windowed hash-aggregate". The reference never
-needed this (11 entities, no skew — SURVEY §4), but at 10^12 turns a
-Zipf-hot conversation makes one reducer the straggler.
+needed this (11 entities, no skew — SURVEY §4).
+
+MEASURED SCOPE (round 4, `scripts/skew_bench.py`, BASELINE.md §11): for
+THIS aggregate family — decomposable stats — the unsalted plan is
+already skew-immune and 2.3× FASTER than the salted one on a planted
+50%-hot corpus, because HashAggregateExec's map-side partial aggregate
+collapses the hot (window, conv_id) group to one row per map task
+before the shuffle. Keep the salted shape for aggregates whose partials
+do not shrink (collect_list-class) or engines without map-side combine;
+for join-side hot keys use AQE's skew-join split instead.
 
 Mechanics: phase 1 groups by (key…, salt = pmod(hash(row-unique), N)) so
 a hot key's rows spread over N reducers and are PARTIALLY aggregated;

@@ -93,11 +93,35 @@ def _start(
     available_now: bool,
     trigger_interval: str | None,
     transform=None,
+    extra_sinks=None,
 ) -> StreamingQuery:
     """``transform``: optional batch-DataFrame → batch-DataFrame function
     applied inside foreachBatch BEFORE the sink — the hook for micro-
-    batch-local post-processing (e.g. W10's per-closed-window rank)."""
-    if transform is None:
+    batch-local post-processing (e.g. W10's per-closed-window rank).
+
+    ``extra_sinks``: optional list of (sink, transform|None) fed from the
+    SAME micro-batch — the multi-sink fold. Queries that share one
+    upstream plan (e.g. the hour aggregate feeding both the plain MERGE
+    and the ranked sink) then pay that plan's state stores ONCE per
+    batch instead of once per sink. Exactly-once holds per sink: each
+    keeps its own commit log, so a replayed batch id is independently a
+    no-op at every sink (a crash between sinks re-runs the batch and
+    only the uncommitted sinks write)."""
+    if extra_sinks:
+        prim_tr = transform
+
+        def handler(bdf, bid):
+            # persist: the batch plan (incl. any stateful upstream) must
+            # not recompute per sink
+            bdf.persist()
+            try:
+                sink.process_batch(prim_tr(bdf) if prim_tr else bdf, bid)
+                for s, tr in extra_sinks:
+                    s.process_batch(tr(bdf) if tr else bdf, bid)
+            finally:
+                bdf.unpersist()
+
+    elif transform is None:
         handler = sink.foreach_batch_handler()
     else:
         handler = lambda bdf, bid: sink.process_batch(transform(bdf), bid)  # noqa: E731
@@ -137,23 +161,68 @@ def start_pipeline(
     def table(name: str) -> str:
         return os.path.join(work_dir, "tables", name)
 
+    # ---- multi-sink folds (same upstream plan → one query, N sinks) ----
+    # heavy_hitters' MG summary is a stateless per-batch transform over
+    # the SAME deduped silver stream the silver query computes, and
+    # gold_hour_rank is a batch-local rank over the SAME hour aggregate
+    # gold_hour computes. When both members of a fold are requested, run
+    # ONE streaming query per fold: the shared upstream's state stores
+    # (dedup / windowed agg) commit once per batch instead of once per
+    # sink — at verification scale those per-partition per-operator
+    # commits dominate the drain (r3 verdict item 6).
+    fold_hh = "silver" in queries and "heavy_hitters" in queries
+    fold_rank = "gold_hour" in queries and "gold_hour_rank" in queries
+
+    def _mg_transform():
+        from pyspark.sql import functions as F
+
+        from ..datagen.flush import FLUSH_CONV_ID
+        from ..operators.heavy_hitters import STREAM_EXACT_K, mg_batch_summary
+
+        return lambda bdf: mg_batch_summary(
+            bdf.filter(F.col("conv_id") != FLUSH_CONV_ID), k=STREAM_EXACT_K
+        )
+
     if "silver" in queries:
+        from .sinks import AdditiveSummarySink
+
         sink = ParquetMergeSink(table("silver"), ["conv_id", "turn_idx"], "ts")
         h.sinks["silver"] = sink
-        h.queries["silver"] = _start(
+        extra = None
+        if fold_hh:
+            hh_sink = AdditiveSummarySink(table("heavy_hitters"))
+            h.sinks["heavy_hitters"] = hh_sink
+            extra = [(hh_sink, _mg_transform())]
+        q = _start(
             silver_stream(src(), watermark), sink, "silver", ckpt("silver"),
-            "append", available_now, trigger_interval,
+            "append", available_now, trigger_interval, extra_sinks=extra,
         )
+        h.queries["silver"] = q
+        if fold_hh:
+            h.queries["heavy_hitters"] = q  # same query object (alias)
 
     if "gold_hour" in queries:
         sink = ParquetMergeSink(table("gold_hour"), ["window_start", "conv_id"], "window_start")
         h.sinks["gold_hour"] = sink
-        h.queries["gold_hour"] = _start(
-            conv_window_stats_stream(silver_stream(src(), watermark), "hour"),
-            sink, "gold_hour", ckpt("gold_hour"), "append", available_now, trigger_interval,
-        )
+        extra = None
+        if fold_rank:
+            from ..plans.gold_windows import rank_window_stats
 
-    if "gold_hour_rank" in queries:
+            rank_sink = ParquetMergeSink(
+                table("gold_hour_rank"), ["window_start", "conv_id"], None
+            )
+            h.sinks["gold_hour_rank"] = rank_sink
+            extra = [(rank_sink, rank_window_stats)]
+        q = _start(
+            conv_window_stats_stream(silver_stream(src(), watermark), "hour"),
+            sink, "gold_hour", ckpt("gold_hour"), "append", available_now,
+            trigger_interval, extra_sinks=extra,
+        )
+        h.queries["gold_hour"] = q
+        if fold_rank:
+            h.queries["gold_hour_rank"] = q
+
+    if "gold_hour_rank" in queries and not fold_rank:
         from ..plans.gold_windows import rank_window_stats
 
         # W10 streaming form: append-mode hour windows close fully within
@@ -311,27 +380,21 @@ def start_pipeline(
             available_now, trigger_interval,
         )
 
-    if "heavy_hitters" in queries:
-        from pyspark.sql import functions as F
-
-        from ..datagen.flush import FLUSH_CONV_ID
-        from ..operators.heavy_hitters import STREAM_EXACT_K, mg_batch_summary
+    if "heavy_hitters" in queries and not fold_hh:
         from .sinks import AdditiveSummarySink
 
         # streaming sketch maintenance: one Misra-Gries summary delta per
         # micro-batch over the DEDUPED turn stream, merged pointwise by
         # the additive sink's read view. Control/sentinel rows must be
         # excluded at WRITE time — an additive sink cannot un-count at
-        # read time what a flush row contributed at write time.
+        # read time what a flush row contributed at write time (the
+        # filter lives in _mg_transform, shared with the folded form).
         sink = AdditiveSummarySink(table("heavy_hitters"))
         h.sinks["heavy_hitters"] = sink
         h.queries["heavy_hitters"] = _start(
             silver_stream(src(), watermark),
             sink, "heavy_hitters", ckpt("heavy_hitters"), "append",
-            available_now, trigger_interval,
-            transform=lambda bdf: mg_batch_summary(
-                bdf.filter(F.col("conv_id") != FLUSH_CONV_ID), k=STREAM_EXACT_K
-            ),
+            available_now, trigger_interval, transform=_mg_transform(),
         )
 
     if "pairs" in queries:
