@@ -104,6 +104,22 @@ def _round6_half_away(x: np.ndarray) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
 
+def _query_block_size(
+    emb: DataFrame, block_size: int, min_tiles: int | None
+) -> int:
+    """Query-side block size flooring the tile count at ``min_tiles``
+    (default 2× defaultParallelism) by shrinking blocks when the corpus
+    is small — one shared sizing rule for both GEMM scorers, so their
+    tiling can never silently diverge. The count() is one column-pruned
+    job; ``min_tiles=1`` skips it."""
+    if min_tiles is None:
+        min_tiles = 2 * emb.sparkSession.sparkContext.defaultParallelism
+    if min_tiles <= 1:
+        return block_size
+    n = emb.count()
+    return max(1, min(block_size, -(-n // min_tiles)))
+
+
 def _vec_blocks(emb: DataFrame, block_size: int, prefix: str) -> DataFrame:
     """Pack vectors into bounded index blocks EXECUTOR-side — one row per
     block carrying aligned (ids, vecs) arrays. No driver materialization
@@ -195,13 +211,7 @@ def broadcast_cosine_topk(
     column-pruned job — negligible next to the GEMM scan it right-sizes;
     pass ``min_tiles=1`` to skip it. Results are block-size-invariant
     (pinned in tests at 4096 vs 128)."""
-    q_bs = block_size
-    if min_tiles is None:
-        min_tiles = 2 * emb.sparkSession.sparkContext.defaultParallelism
-    if min_tiles > 1:
-        n = emb.count()
-        q_bs = max(1, min(block_size, -(-n // min_tiles)))
-    qb = _vec_blocks(emb, q_bs, "q_")
+    qb = _vec_blocks(emb, _query_block_size(emb, block_size, min_tiles), "q_")
     cb = _vec_blocks(emb, block_size, "c_")
     tiles = qb.join(F.broadcast(cb))
     return _topk(_block_pair_scores(tiles, _tile_topk_emit(k)), k)
@@ -308,12 +318,7 @@ def broadcast_near_dup_pairs(
     ``broadcast_cosine_topk`` (small corpora otherwise pack into one
     steal-exposed task); the id-order pruning below is generalized to
     the resulting unequal block sizes."""
-    q_bs = block_size
-    if min_tiles is None:
-        min_tiles = 2 * emb.sparkSession.sparkContext.defaultParallelism
-    if min_tiles > 1:
-        n = emb.count()
-        q_bs = max(1, min(block_size, -(-n // min_tiles)))
+    q_bs = _query_block_size(emb, block_size, min_tiles)
     qb = _vec_blocks(emb, q_bs, "q_")
     cb = _vec_blocks(emb, block_size, "c_")
     # keep a tile unless its smallest possible query id already exceeds

@@ -22,6 +22,9 @@ Components in MapReduce and Beyond" (SoCC'14), which contracts the
 graph toward per-component stars in O(log² n) rounds regardless of
 diameter — each round is still just groupBy-min + join (shuffle ∝
 edges), so the fallback keeps the exact scale shape of the fast path.
+The fallback runs on the label-contracted QUOTIENT graph, so the
+exhausted min-label rounds are not wasted: only the residual graph
+(edges whose endpoints still disagree) is re-closed.
 
 The driver grades this against a DuckDB ``WITH RECURSIVE`` transitive
 min-label closure — an independent formulation of the same semantics.
@@ -89,9 +92,28 @@ def connected_components(
         # diameter > max_iter: a silent exit would return WRONG labels
         # for any component whose min-label eccentricity exceeds the
         # round budget. Instead of raising (round-3 behavior), switch to
-        # the diameter-independent star algorithm — correctness first,
-        # and still shuffle ∝ edges per round.
-        return _star_components(vertices, edges, vertex_col, src_col, dst_col)
+        # the diameter-independent star algorithm — but on the QUOTIENT
+        # graph, not the raw edges: the finished rounds already agreed
+        # on labels for almost the whole graph, so contract each partial
+        # cluster to its label and close only the (typically tiny)
+        # residual. Quotient components map 1:1 to input components, and
+        # a component's global min id is itself a label (nothing smaller
+        # is reachable from the min vertex, so label(min) = min) —
+        # composing through the partial labels preserves exact ids.
+        lab_s = labels.select(F.col("v").alias("src"), F.col("label").alias("qs"))
+        lab_d = labels.select(F.col("v").alias("dst"), F.col("label").alias("qd"))
+        q_edges = (
+            sym.join(lab_s, "src")
+            .join(lab_d, "dst")
+            .select(F.col("qs").alias("e1"), F.col("qd").alias("e2"))
+            .filter(F.col("e1") != F.col("e2"))
+            .distinct()
+        )
+        q_vertices = labels.select(F.col("label").alias("q")).distinct()
+        stars = _star_components(q_vertices, q_edges, "q", "e1", "e2")
+        return labels.join(
+            stars.withColumnRenamed("q", "label"), "label"
+        ).select(F.col("v").alias(vertex_col), "cluster_id")
 
     return labels.select(
         F.col("v").alias(vertex_col), F.col("label").alias("cluster_id")

@@ -153,10 +153,12 @@ def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataF
         # vectorized tile/truncate: one flat concat of the chunk's
         # payloads, one modular gather filling the whole (rows × target)
         # output block — no per-row Python resample loop. Rows are
-        # sub-chunked so the gather block stays ~32 MB regardless of the
+        # sub-chunked so the INDEX block (the biggest temporary: 4 bytes
+        # per output byte at int32) stays ~32 MB; peak per task is then
+        # ~45 MB (index + uint8 output), bounded regardless of the
         # Arrow batch size. The per-row .tobytes() at the end is the
         # Arrow binary-column contract (object-dtype cells), not work.
-        chunk_rows = max(1, (32 << 20) // max(target, 1))
+        chunk_rows = max(1, (32 << 20) // max(4 * target, 1))
         for pdf in it:
             for lo in range(0, len(pdf), chunk_rows):
                 sub = pdf.iloc[lo : lo + chunk_rows]
@@ -168,9 +170,16 @@ def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataF
                 # sentinel zero byte: empty payloads gather it everywhere
                 flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
                 flat = np.concatenate([flat, np.zeros(1, dtype=np.uint8)])
-                j = np.arange(target, dtype=np.int64)
-                idx = offsets[:, None] + (j[None, :] % np.maximum(lens, 1)[:, None])
-                idx = np.where((lens == 0)[:, None], len(flat) - 1, idx)
+                # int32 indices when the flat buffer allows (4× smaller
+                # temporaries than int64); pre-pointing empty rows'
+                # offsets at the sentinel replaces a full-block np.where
+                dt = np.int32 if len(flat) < 2**31 - 1 else np.int64
+                off = np.where(lens == 0, len(flat) - 1, offsets).astype(dt)
+                lens_safe = np.maximum(lens, 1).astype(dt)
+                j = np.arange(target, dtype=dt)
+                idx = np.empty((len(sub), target), dtype=dt)
+                np.mod(j[None, :], lens_safe[:, None], out=idx)
+                idx += off[:, None]
                 block = flat[idx]
                 yield pd.DataFrame(
                     {

@@ -69,6 +69,13 @@ def _interleave_bits(a: Column, b: Column, bits: int = ZBITS) -> Column:
     return z
 
 
+class DegenerateZOrderBounds(ValueError):
+    """The frame has no rankable values (empty, or a z-order column is
+    all-NULL). Distinct from the arity/misuse ValueError so maintenance
+    callers can degrade gracefully on THIS case only — a caller bug
+    (wrong column count) must still propagate."""
+
+
 def zorder_value(df: DataFrame, cols: list[str], bits: int = ZBITS) -> DataFrame:
     """Append a ``zvalue`` column interleaving the rank-normalized bits
     of two columns. Bounds come from ONE aggregate pass over ``df``
@@ -106,7 +113,7 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = ZBITS) -> DataFrame
         F.min("__z0"), F.max("__z0"), F.min("__z1"), F.max("__z1")
     ).first()
     if any(x is None for x in bounds):
-        raise ValueError(
+        raise DegenerateZOrderBounds(
             f"zorder_value: no non-null values to rank in {cols} "
             "(empty input or an all-null column)"
         )

@@ -37,6 +37,7 @@ the silver table — one pass over bronze per query, watermarks aligned.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -172,6 +173,40 @@ def start_pipeline(
     # commits dominate the drain (r3 verdict item 6).
     fold_hh = "silver" in queries and "heavy_hitters" in queries
     fold_rank = "gold_hour" in queries and "gold_hour_rank" in queries
+
+    # Batch-id provenance guard: a sink's commit log keys on bare batch
+    # ids, which are only meaningful relative to the ONE checkpoint that
+    # issued them. Restarting an existing work_dir with a different
+    # fold topology (folded <-> standalone) would feed a sink from a
+    # DIFFERENT checkpoint whose ids restart at 0 — is_committed would
+    # answer True from the stale log and micro-batches would be
+    # silently dropped (an additive sink then permanently undercounts).
+    # Record sink -> feeding-checkpoint wiring per work_dir and refuse
+    # a mismatch loudly.
+    wiring = {q: q for q in queries}
+    if fold_hh:
+        wiring["heavy_hitters"] = "silver"
+    if fold_rank:
+        wiring["gold_hour_rank"] = "gold_hour"
+    wiring_path = os.path.join(work_dir, "_sink_wiring.json")
+    prior: dict[str, str] = {}
+    if os.path.exists(wiring_path):
+        with open(wiring_path) as f:
+            prior = json.load(f)
+    conflicts = {
+        s: (prior[s], c) for s, c in wiring.items()
+        if s in prior and prior[s] != c
+    }
+    if conflicts:
+        raise RuntimeError(
+            "sink/checkpoint wiring changed for this work_dir — batch ids "
+            "from a different checkpoint would misalign the sinks' commit "
+            f"logs (silent data loss): {conflicts}. Use a fresh work_dir, "
+            "or restart with the same query topology."
+        )
+    os.makedirs(work_dir, exist_ok=True)
+    with open(wiring_path, "w") as f:
+        json.dump({**prior, **wiring}, f, indent=2)
 
     def _mg_transform():
         from pyspark.sql import functions as F

@@ -234,7 +234,7 @@ class ParquetMergeSink:
             "__batch_id", F.lit(through)
         )
         if zorder_by:
-            from ..sources.layout import zorder_value
+            from ..sources.layout import DegenerateZOrderBounds, zorder_value
 
             n_files = zorder_files or spark.sparkContext.defaultParallelism
             try:
@@ -244,13 +244,14 @@ class ParquetMergeSink:
                     .sortWithinPartitions("zvalue")
                     .drop("zvalue")
                 )
-            except ValueError:
+            except DegenerateZOrderBounds:
                 # degenerate fold (empty frame or an all-NULL z-order
                 # column): a plain compact() succeeds in this state, so
                 # the opt-in LAYOUT must never turn routine maintenance
                 # into a crash — write the snapshot unclustered instead
                 # (r3 ADVICE). Content/commit semantics are identical;
-                # only file ordering is lost.
+                # only file ordering is lost. Caller misuse (wrong
+                # column count) is NOT caught — that must fail loudly.
                 pass
         frame.write.mode("overwrite").parquet(out)
         stats = self._footer_stats(out)

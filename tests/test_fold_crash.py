@@ -106,3 +106,33 @@ def test_fold_crash_between_sinks_is_exactly_once(
     assert_df_equal(
         hh.select("token", "count"), want_hh.toPandas(), sort_cols=["token"]
     )
+
+
+def test_topology_switch_on_existing_work_dir_refuses(spark):
+    """Restarting a work_dir with a different fold topology must be a
+    LOUD error, not silent data loss: a folded heavy_hitters sink holds
+    batch ids issued by the SILVER checkpoint; a standalone restart
+    would issue fresh ids from 0 that collide with the stale commit log
+    (is_committed → True → batches silently dropped)."""
+    import json
+
+    from crypto_near_real_time_data_ingestion_spark.streaming.engine import (
+        start_pipeline,
+    )
+
+    work = WORK + "_wiring"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    # a prior FOLDED run recorded heavy_hitters as fed by silver's ckpt
+    with open(os.path.join(work, "_sink_wiring.json"), "w") as f:
+        json.dump({"silver": "silver", "heavy_hitters": "silver"}, f)
+    # the guard fires before any query (or even the source) is touched
+    with pytest.raises(RuntimeError, match="wiring changed"):
+        start_pipeline(
+            spark, os.path.join(work, "missing-source"), work,
+            queries=("heavy_hitters",), available_now=True,
+        )
+    # same-topology restart stays allowed: no exception from the guard
+    # itself (we don't start the queries — just re-check the wiring)
+    with open(os.path.join(work, "_sink_wiring.json")) as f:
+        assert json.load(f)["heavy_hitters"] == "silver"
