@@ -349,10 +349,12 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # all streaming entries share ONE drain of the arrival-ordered stream:
-# a single rate-controlled source feed with thirteen independently-
-# checkpointed queries running concurrently — the reference's
-# sequential-DAG analog as one continuous pipeline (and 10× cheaper than
-# per-query drains in the driver's verify/bench loop). Results are
+# a single rate-controlled source feed with the 13 queries running
+# concurrently as 11 checkpointed jobs (silver+heavy_hitters and
+# gold_hour+rank each fold into one query with two exactly-once sinks)
+# — the reference's sequential-DAG analog as one continuous pipeline
+# (and 10× cheaper than per-query drains in the driver's verify/bench
+# loop). Results are
 # deterministic, so caching the drained handles per (session, sf) is
 # sound; the key is the session's applicationId (stable, never reused,
 # unlike id(spark) which CPython can recycle after GC).

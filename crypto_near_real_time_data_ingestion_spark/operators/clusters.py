@@ -107,7 +107,9 @@ def connected_components(
             .join(lab_d, "dst")
             .select(F.col("qs").alias("e1"), F.col("qd").alias("e2"))
             .filter(F.col("e1") != F.col("e2"))
-            .distinct()
+            # no .distinct() here: _star_components canonicalizes and
+            # dedups the edge set itself — a caller-side pass would be
+            # one wasted shuffle of the residual graph
         )
         q_vertices = labels.select(F.col("label").alias("q")).distinct()
         stars = _star_components(q_vertices, q_edges, "q", "e1", "e2")

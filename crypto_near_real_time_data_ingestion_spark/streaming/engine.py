@@ -2,10 +2,13 @@
 
 The reference's Step-Functions DAG of four sequential Glue jobs
 (``terraform/sfn.tf:4-56``) becomes a set of continuously-running
-Structured Streaming queries, each independently checkpointed and
-resumable (SFN retry/backoff → restart-from-checkpoint). Data passes
-between layers through tables, exactly as the reference passes through
-S3 — but incrementally, per micro-batch.
+Structured Streaming queries, each checkpointed and resumable (SFN
+retry/backoff → restart-from-checkpoint). Data passes between layers
+through tables, exactly as the reference passes through S3 — but
+incrementally, per micro-batch. Fold exception: when both members of a
+shared-plan pair are requested (silver+heavy_hitters,
+gold_hour+gold_hour_rank), the pair runs as ONE query — one checkpoint,
+two sinks, each sink exactly-once via its own commit log.
 
 Queries:
   silver      raw → cleanse → dropDuplicatesWithinWatermark → MERGE
@@ -85,6 +88,51 @@ class PipelineHandles:
         }
 
 
+def _ckpt_latest(checkpoint: str, sub: str) -> int:
+    """Latest batch id recorded in a checkpoint's ``offsets``/``commits``
+    log, -1 if absent. File names in those dirs ARE the batch ids."""
+    d = os.path.join(checkpoint, sub)
+    if not os.path.isdir(d):
+        return -1
+    return max((int(f) for f in os.listdir(d) if f.isdigit()), default=-1)
+
+
+def _sink_max_committed(sink) -> int:
+    through = -1
+    if callable(getattr(sink, "compacted_through", None)):
+        through = sink.compacted_through()
+    live = []
+    if callable(getattr(sink, "committed_batches", None)):
+        live = sink.committed_batches()
+    return max([through, *live], default=-1)
+
+
+def _check_sink_alignment(checkpoint: str, name: str, sink, extra_sinks) -> None:
+    """Refuse to resume a checkpoint whose engine-committed batches are
+    missing from any sink it feeds. A batch in the checkpoint's
+    ``commits`` log will NEVER be replayed, so a sink without it has
+    lost that data permanently — which happens when a sink is attached
+    to a checkpoint that advanced while the sink was absent (a fold
+    member added to an existing work_dir, or re-added after standalone
+    runs in between). The in-flight batch (``offsets`` ahead of
+    ``commits``) is exempt — restart replays it and each sink's own
+    commit log absorbs it exactly-once."""
+    required = _ckpt_latest(checkpoint, "commits")
+    if required < 0:
+        return
+    for s in [sink, *[x for x, _ in (extra_sinks or [])]]:
+        have = _sink_max_committed(s)
+        if have < required:
+            raise RuntimeError(
+                f"query '{name}': checkpoint has committed batch "
+                f"{required} but sink {getattr(s, 'table_dir', s)} has "
+                f"only committed through {have} — those batches will "
+                "never be replayed, so resuming would silently lose "
+                "them at this sink. Use a fresh work_dir (or backfill "
+                "the sink) instead."
+            )
+
+
 def _start(
     df: DataFrame,
     sink: ParquetMergeSink,
@@ -108,6 +156,7 @@ def _start(
     keeps its own commit log, so a replayed batch id is independently a
     no-op at every sink (a crash between sinks re-runs the batch and
     only the uncommitted sinks write)."""
+    _check_sink_alignment(checkpoint, name, sink, extra_sinks)
     if extra_sinks:
         prim_tr = transform
 
@@ -205,8 +254,11 @@ def start_pipeline(
             "or restart with the same query topology."
         )
     os.makedirs(work_dir, exist_ok=True)
-    with open(wiring_path, "w") as f:
+    # tmp + rename like every other commit-point file here: a crash
+    # mid-write must not brick an otherwise-resumable work_dir
+    with open(wiring_path + ".tmp", "w") as f:
         json.dump({**prior, **wiring}, f, indent=2)
+    os.rename(wiring_path + ".tmp", wiring_path)
 
     def _mg_transform():
         from pyspark.sql import functions as F

@@ -136,3 +136,30 @@ def test_topology_switch_on_existing_work_dir_refuses(spark):
     # itself (we don't start the queries — just re-check the wiring)
     with open(os.path.join(work, "_sink_wiring.json")) as f:
         assert json.load(f)["heavy_hitters"] == "silver"
+
+
+def test_attach_sink_to_advanced_checkpoint_refuses(spark, stream_parquet_dir):
+    """The wiring file can't catch a sink NEWLY attached to a checkpoint
+    that advanced while the sink was absent (the mapping is new, not
+    changed) — the batch-alignment guard must: every batch in the
+    checkpoint's commits log is gone forever (never replayed), so a
+    fold member joining late would silently miss all of them."""
+    from crypto_near_real_time_data_ingestion_spark.streaming.engine import (
+        run_pipeline_to_completion,
+    )
+
+    work = WORK + "_attach"
+    shutil.rmtree(work, ignore_errors=True)
+    fsrc = build_flushed_source(stream_parquet_dir, os.path.join(work, "source"))
+    # run 1: silver alone drains the whole source
+    run_pipeline_to_completion(
+        spark, fsrc, work, queries=("silver",), max_files_per_trigger=2
+    )
+    # run 2: folding heavy_hitters onto silver's now-advanced checkpoint
+    # must refuse — the summaries for every drained batch are unrecoverable
+    with pytest.raises(RuntimeError, match="never be replayed"):
+        run_pipeline_to_completion(
+            spark, fsrc, work,
+            queries=("silver", "heavy_hitters"),
+            max_files_per_trigger=2,
+        )
