@@ -130,13 +130,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle template as the graded streaming_gold_sliding; batch path
     pytest-graded in test_retired_twins), gold_sessions_30m (round 4:
     same oracle template as the graded streaming_sessions_30m; batch
-    path pytest-graded in test_gold_plans + test_property_based)."""
+    path pytest-graded in test_gold_plans + test_property_based),
+    events_dedup_latest (round 4, for streaming_lsh_pairs' slot: A6
+    keep-latest stays driver-graded via silver_cleanse_dedup; the
+    events form stays oracle-pinned in test_gold_plans)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def _silver(spark, sf_dir):
         return silver_plan.silver_batch(_transcripts(spark, sf_dir))
 
     # --- newest / previously-ungraded entries first ------------------------
+    # streaming incremental LSH dedup (round 4): the stateful LSH index
+    # fed the corpus as an arrival-ordered stream emits exactly the
+    # batch minhash_lsh_pairs result, so it answers the SAME exact
+    # all-pairs Jaccard oracle (recall-1.0 pinned at both sfs)
+    q["streaming_lsh_pairs"] = _run_streaming_lsh
     # winnowing fingerprints: custom hash re-derived in DuckDB SQL
     q["doc_winnow_fingerprints"] = lambda s, d: td_op.winnow_fingerprints(
         dg.read_documents(s, d)
@@ -265,9 +273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- reference gold programs on the driver-provided events table
     # (W1/W2 keep-latest, A1 QA agg, W5-W10+A2+J1/J2 ML features) -----------
-    q["events_dedup_latest"] = lambda s, d: eg.events_dedup_latest(
-        eg.read_events(s, d)
-    )
+    # (events_dedup_latest retired round 4 for streaming_lsh_pairs'
+    # slot: A6/W1-W2 keep-latest stays driver-graded via
+    # silver_cleanse_dedup, and the events form stays oracle-pinned in
+    # test_gold_plans.py::test_events_dedup_latest)
     # the literal OHLC job (W3/W4 + A3-A5) and its grain-view layer (S13):
     # the view filters g='week' over the 4-grain union — Catalyst constant-
     # folds the other branches to empty relations (one scan survives)
@@ -444,6 +453,41 @@ def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental LSH dedup over the documents table fed as a
+    4-chunk arrival-ordered stream (streaming/stateful_lsh.py): the
+    bucket-keyed stateful LSH index emits each verified near-dup pair in
+    the micro-batch where its later member arrives; the MERGE sink keys
+    out cross-bucket duplicates. Bit-equal to batch minhash_lsh_pairs
+    (tests/test_streaming_lsh.py), so it answers the same exact
+    all-pairs Jaccard oracle. Own drain + cache: an environment failure
+    here cannot touch the transcript-stream entries."""
+    import os
+    import shutil
+
+    from crypto_near_real_time_data_ingestion_spark.streaming.stateful_lsh import (
+        build_doc_stream_source,
+        run_lsh_dedup_to_completion,
+    )
+
+    sf = sf_from_dir(sf_dir)
+    key = (spark.sparkContext.applicationId, sf, "lsh")
+    sink = _stream_cache.get(key)
+    if sink is None:
+        src = build_doc_stream_source(
+            os.path.join(sf_dir, "documents.parquet"),
+            f"{_fast_tmp()}/spark_graft_entry_lsh_src_{sf}",
+            n_chunks=4,
+        )
+        work = f"{_fast_tmp()}/spark_graft_entry_lsh_{sf}"
+        shutil.rmtree(work, ignore_errors=True)
+        sink = run_lsh_dedup_to_completion(
+            spark, src, work, shuffle_partitions=8
+        )
+        _stream_cache[key] = sink
+    return sink.read(spark).select("doc_id_1", "doc_id_2", "jaccard")
+
+
 def drain_streams(spark: SparkSession, sf_dir: str) -> object:
     """Run (once per session+sf, cached) the shared 13-query streaming
     drain and return its handles. Exposed so bench.py can time the drain
@@ -538,7 +582,9 @@ def oracle_sql() -> dict[str, str]:
         "gold_conv_features_arrow": gold_features.CONV_FEATURES_ORACLE_SQL_TEMPLATE.format(
             path=path, gap_s=1800
         ),
-        "events_dedup_latest": eg.EVENTS_DEDUP_ORACLE_SQL,
+        "streaming_lsh_pairs": dg.DOC_JACCARD_ORACLE_SQL_TEMPLATE.format(
+            threshold=0.5
+        ),
         "events_ohlc_hour": eg.OHLC_ORACLE_SQL_TEMPLATE.format(grain="hour"),
         "sql_view_ohlc_week": eg.OHLC_ORACLE_SQL_TEMPLATE.format(grain="week"),
         "events_minute_qa": eg.EVENTS_MINUTE_QA_ORACLE_SQL,

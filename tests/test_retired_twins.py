@@ -24,6 +24,9 @@ guard that registration stays inside the graded window:
     emb_ivfpq_ann_topk's slot)    |   test_property_based.py (streaming
                                   |   form stays driver-graded:
                                   |   streaming_sessions_30m)
+  events_dedup_latest (round 4,   | test_gold_plans.py (A6 keep-latest
+    for streaming_lsh_pairs'slot) |   stays driver-graded via
+                                  |   silver_cleanse_dedup)
 """
 
 from __future__ import annotations
@@ -63,9 +66,9 @@ def test_registration_stays_inside_graded_window():
     # if the window shrank slightly
     names = list(q)
     for must_be_early in (
-        "doc_winnow_fingerprints", "emb_lsh_ann_topk", "emb_ivf_ann_topk",
-        "emb_ivfpq_ann_topk", "media_features", "media_metadata",
-        "streaming_rank",
+        "streaming_lsh_pairs", "doc_winnow_fingerprints",
+        "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_ivfpq_ann_topk",
+        "media_features", "media_metadata", "streaming_rank",
     ):
         assert names.index(must_be_early) < 10
 
