@@ -23,9 +23,11 @@ sorted unique shingle-hash array; an arriving doc does ONE vectorized
 membership pass (``np.isin`` + ``reduceat``) against the bucket's flat
 array — cost ∝ bucket size, the same candidate-generation bound as the
 batch band-bucket self-join. State grows with the corpus (16 bands ×
-docs) because corpus dedup never forgets by definition; bound it with
-the usual LSH-index levers (fewer bands kept hot, TTL for
-dedup-against-a-trailing-window) — both are config, not code shape.
+docs) because corpus dedup never forgets by definition; for unbounded
+streams ``max_bucket_members`` caps each bucket at its most recent N
+members (FIFO) — state becomes O(buckets × N) and the result degrades
+predictably to dedup-against-the-recent-corpus (subset of the exact
+pairs, never spurious ones).
 
 Equivalence to batch: candidates are identical (same bands, same
 buckets, same members once all docs arrived); verification computes the
@@ -129,6 +131,7 @@ def _process_bucket(
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
     threshold: float,
+    max_members: int | None,
 ) -> Iterator[pd.DataFrame]:
     ids, lens, flat = state.get if state.exists else ([], [], [])
     m_ids = np.asarray(ids, dtype=np.int64)
@@ -176,6 +179,16 @@ def _process_bucket(
         m_lens = np.append(m_lens, len(d_set))
         m_flat = np.concatenate([m_flat, d_set]) if len(d_set) else m_flat
 
+    if max_members is not None and len(m_ids) > max_members:
+        # bounded-index regime: FIFO-evict the oldest members so state
+        # is O(max_members) per bucket — dedup against the most recent
+        # corpus slice instead of all history (the standard memory lever
+        # for an unbounded stream; recall loss is exactly the evicted
+        # members' future pairs)
+        drop = len(m_ids) - max_members
+        cut = int(m_lens[:drop].sum())
+        m_ids, m_lens, m_flat = m_ids[drop:], m_lens[drop:], m_flat[cut:]
+
     state.update((m_ids.tolist(), m_lens.tolist(), m_flat.tolist()))
     if out1:
         yield pd.DataFrame(
@@ -183,11 +196,23 @@ def _process_bucket(
         )
 
 
-def lsh_pairs_stream(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def lsh_pairs_stream(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_bucket_members: int | None = None,
+) -> DataFrame:
     """Verified near-dup pairs over a streaming documents frame
     (doc_id, text). Emits each pair in the micro-batch where its later
     member arrives; duplicates across shared buckets are keyed out by a
-    (doc_id_1, doc_id_2) MERGE sink."""
+    (doc_id_1, doc_id_2) MERGE sink.
+
+    ``max_bucket_members``: None (default) = dedup against ALL history —
+    exact batch equivalence, state ∝ corpus. An integer caps each
+    bucket's index at the most recent N members (FIFO) — state is
+    O(buckets × N) for an unbounded stream, and the emitted pairs are
+    exactly the batch pairs minus those whose earlier member was evicted
+    from every shared bucket before the later one arrived (pinned in
+    tests: a subset, never a spurious pair)."""
     from ..plans.documents_gold import doc_shingles
 
     # shingle-less docs can never verify at any threshold > 0 (batch
@@ -198,7 +223,9 @@ def lsh_pairs_stream(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     bands = sh.mapInPandas(_bands_with_hashes_udf, schema=_BAND_SCHEMA)
 
     def fn(key, pdf_iter, state):
-        return _process_bucket(key, pdf_iter, state, threshold)
+        return _process_bucket(
+            key, pdf_iter, state, threshold, max_bucket_members
+        )
 
     return bands.groupBy("band", "band_hash").applyInPandasWithState(
         fn,
@@ -244,6 +271,7 @@ def run_lsh_dedup_to_completion(
     threshold: float = 0.5,
     max_files_per_trigger: int = 1,
     shuffle_partitions: int | None = None,
+    max_bucket_members: int | None = None,
 ):
     """Drain the doc stream through the stateful LSH index into an
     exactly-once MERGE sink keyed (doc_id_1, doc_id_2); returns the sink.
@@ -284,7 +312,7 @@ def run_lsh_dedup_to_completion(
     )
     try:
         q = (
-            lsh_pairs_stream(src, threshold)
+            lsh_pairs_stream(src, threshold, max_bucket_members)
             .writeStream.queryName("lsh_pairs")
             .outputMode("update")
             .option(

@@ -49,6 +49,40 @@ def test_streaming_lsh_pairs_equal_batch(spark):
     assert sink2.read(spark).count() == before
 
 
+def test_bounded_index_is_exact_subset(spark):
+    """max_bucket_members: a large cap changes nothing (no bucket ever
+    evicts → identical to unbounded); a tiny cap yields a SUBSET of the
+    exact pairs — every emitted pair still carries the exact batch
+    jaccard (eviction can only lose pairs, never fabricate or corrupt
+    one)."""
+    want = minhash_lsh_pairs(read_documents(spark, SF_DIR)).toPandas()
+    want_keys = set(zip(want["doc_id_1"], want["doc_id_2"]))
+    want_j = {
+        (a, b): j
+        for a, b, j in zip(want["doc_id_1"], want["doc_id_2"], want["jaccard"])
+    }
+
+    for cap, expect_all in ((10_000, True), (1, False)):
+        work = f"{WORK}_cap{cap}"
+        shutil.rmtree(work, ignore_errors=True)
+        src = build_doc_stream_source(
+            os.path.join(SF_DIR, "documents.parquet"),
+            os.path.join(work, "source"),
+            n_chunks=4,
+        )
+        sink = run_lsh_dedup_to_completion(
+            spark, src, work, max_bucket_members=cap
+        )
+        got = sink.read(spark).select("doc_id_1", "doc_id_2", "jaccard").toPandas()
+        keys = set(zip(got["doc_id_1"], got["doc_id_2"]))
+        assert keys <= want_keys, "bounded index fabricated a pair"
+        for a, b, j in zip(got["doc_id_1"], got["doc_id_2"], got["jaccard"]):
+            assert j == want_j[(a, b)], "bounded index corrupted a jaccard"
+        if expect_all:
+            assert keys == want_keys
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_streaming_lsh_crash_mid_drain_resumes_exactly_once(spark):
     """Kill the sink mid-drain, restart from checkpoint: the state store
     (the LSH index) rolls back with the crashed batch, so the restart
