@@ -12,17 +12,20 @@ Shape (the part that matters at scale):
 
   doc stream → shingle (Catalyst) → minhash bands (Arrow batch, the
   same vectorized Horner/splitmix hashing as batch LSH) → groupBy
-  (band, band_hash) → applyInPandasWithState
+  (band, band_hash mod bucket_groups) → applyInPandasWithState
 
-The keyed state IS the LSH index, partitioned by band bucket — exactly
-the structure production dedup services maintain, except here it lives
-in Spark's state store (RocksDB at scale), is transactional with the
-micro-batch (a crashed batch rolls the index back with it), and is
-resumable from checkpoint. Per bucket the state holds each member's
-sorted unique shingle-hash array; an arriving doc does ONE vectorized
-membership pass (``np.isin`` + ``reduceat``) against the bucket's flat
-array — cost ∝ bucket size, the same candidate-generation bound as the
-batch band-bucket self-join. State grows with the corpus (16 bands ×
+The keyed state IS the LSH index, sharded by a COARSENED bucket key —
+exactly the structure production dedup services maintain, except here
+it lives in Spark's state store (RocksDB at scale), is transactional
+with the micro-batch (a crashed batch rolls the index back with it),
+and is resumable from checkpoint. The coarsening matters:
+applyInPandasWithState pays per-group invocation overhead, and raw
+band_hash keys are near-singleton buckets, so the naive keying paid it
+per (doc × band) — measured 0.26 ms/membership. One group serves many
+buckets; candidates are still selected by EXACT band_hash equality
+(stored in-state), then verified with a vectorized membership pass per
+true candidate — total verify work ∝ real bucket collisions, the same
+candidate-generation bound as the batch band-bucket self-join. State grows with the corpus (16 bands ×
 docs) because corpus dedup never forgets by definition; for unbounded
 streams ``max_bucket_members`` caps each bucket at its most recent N
 members (FIFO) — state becomes O(buckets × N) and the result degrades
@@ -78,18 +81,33 @@ _BAND_SCHEMA = T.StructType(
         T.StructField("band", T.IntegerType()),
         T.StructField("band_hash", T.LongType()),
         T.StructField("doc_id", T.LongType()),
-        T.StructField("sh_hashes", T.ArrayType(T.LongType())),
+        # BINARY, not array<long>: the hash sets are bulk payloads —
+        # binary moves as one memcpy (tobytes/frombuffer) while a
+        # long-array column boxes every element through Python on
+        # each shuffle/state (de)serialization (~25M ints per batch
+        # at 20k docs). Little-endian int64, same-arch assumption as
+        # the rest of the checkpoint.
+        T.StructField("sh_hashes", T.BinaryType()),
     ]
 )
 
-# bucket state: the LSH index shard for this (band, band_hash) —
-# member doc ids, each member's shingle count, and the concatenation of
-# all members' sorted unique shingle hashes (flat + lens = offsets)
+# group state: the LSH index shard for a (band, band_hash mod G) COARSE
+# key — member doc ids, each member's exact band_hash (the true bucket:
+# equality on it is the candidate condition), each member's shingle
+# count, and the concatenation of all members' sorted unique shingle
+# hashes (flat + lens = offsets). Coarse keying exists because
+# applyInPandasWithState pays a per-GROUP invocation cost (Arrow round
+# trip + state get/put): keyed on raw band_hash nearly every bucket is
+# a singleton and the stream pays that cost per (doc × band) — measured
+# 0.26 ms/membership at 20k docs. One group now serves many buckets, so
+# invocations per batch are capped at 16 × bucket_groups while the
+# candidate semantics (exact band_hash equality) are unchanged.
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("band_hashes", T.ArrayType(T.LongType())),
         T.StructField("lens", T.ArrayType(T.IntegerType())),
-        T.StructField("flat", T.ArrayType(T.LongType())),
+        T.StructField("flat", T.BinaryType()),  # same binary rationale
     ]
 )
 
@@ -111,11 +129,10 @@ def _bands_with_hashes_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         seg_ids = np.repeat(np.arange(n, dtype=np.int64), seg_lens)
         order = np.lexsort((hashes.astype(np.int64), seg_ids))
         flat_sorted = hashes.astype(np.int64)[order]
-        # object cells are the Arrow list-column representation
         per_doc = np.empty(n, dtype=object)
         bounds = np.concatenate(([0], np.cumsum(seg_lens)))
-        for i in range(n):  # list-cell construction, not compute
-            per_doc[i] = flat_sorted[bounds[i] : bounds[i + 1]]
+        for i in range(n):  # binary-cell construction (memcpy), not compute
+            per_doc[i] = flat_sorted[bounds[i] : bounds[i + 1]].tobytes()
         yield pd.DataFrame(
             {
                 "band": np.tile(np.arange(N_BANDS, dtype=np.int32), n),
@@ -126,70 +143,83 @@ def _bands_with_hashes_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
-def _process_bucket(
+def _process_group(
     key: tuple,
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
     threshold: float,
     max_members: int | None,
 ) -> Iterator[pd.DataFrame]:
-    ids, lens, flat = state.get if state.exists else ([], [], [])
-    m_ids = np.asarray(ids, dtype=np.int64)
-    m_lens = np.asarray(lens, dtype=np.int64)
-    m_flat = np.asarray(flat, dtype=np.int64)
+    ids, bhs, lens, flat = state.get if state.exists else ([], [], [], b"")
+    m_ids = list(ids)
+    m_bh = np.asarray(bhs, dtype=np.int64)
+    flat_arr = np.frombuffer(flat or b"", dtype=np.int64)
+    bounds = np.concatenate(([0], np.cumsum(np.asarray(lens, dtype=np.int64))))
+    # per-member hash-set views into the flat state array (views, no copy)
+    m_sets: list[np.ndarray] = [
+        flat_arr[bounds[i] : bounds[i + 1]] for i in range(len(m_ids))
+    ]
 
     new_ids: list[np.ndarray] = []
+    new_bh: list[np.ndarray] = []
     new_sets: list[np.ndarray] = []
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
         new_ids.append(pdf["doc_id"].to_numpy())
+        new_bh.append(pdf["band_hash"].to_numpy())
         new_sets.extend(
-            np.asarray(a, dtype=np.int64) for a in pdf["sh_hashes"]
+            np.frombuffer(a, dtype=np.int64) for a in pdf["sh_hashes"]
         )
     if not new_ids:
         return
     arr_ids = np.concatenate(new_ids)
+    arr_bh = np.concatenate(new_bh)
     order = np.argsort(arr_ids, kind="stable")  # in-batch ascending ids
 
     out1, out2, outj = [], [], []
-    # per-ARRIVING-doc walk (bounded by this bucket's in-batch arrivals);
-    # each step is one vectorized membership pass over all members —
-    # the same ∝-bucket-size candidate bound as the batch bucket join
+    # per-ARRIVING-doc walk (sequential by construction: each arrival
+    # joins the index the next arrival probes). Candidates are the
+    # members whose exact band_hash matches — one vectorized equality
+    # over the group's member list, then a membership pass per true
+    # candidate: total work ∝ real bucket collisions, exactly the batch
+    # bucket-join bound, NOT ∝ group size.
     for pos in order:
         d_id = int(arr_ids[pos])
+        d_bh = arr_bh[pos]
         d_set = new_sets[pos]
-        if len(m_ids) and len(d_set):
-            starts = np.concatenate(([0], np.cumsum(m_lens)))[:-1]
-            # .astype BEFORE reduceat: np.add.reduceat preserves dtype,
-            # and add over bools is logical OR (every inter would cap at 1)
-            inter = np.add.reduceat(
-                np.isin(m_flat, d_set).astype(np.int64), starts
-            )
-            union = m_lens + len(d_set) - inter  # ≥ 1: segments non-empty
-            jacc = inter / union
-            sel = jacc >= threshold
-            if sel.any():
-                lo = np.minimum(m_ids[sel], d_id)
-                hi = np.maximum(m_ids[sel], d_id)
-                out1.extend(lo.tolist())
-                out2.extend(hi.tolist())
-                outj.extend(jacc[sel].tolist())
-        m_ids = np.append(m_ids, d_id)
-        m_lens = np.append(m_lens, len(d_set))
-        m_flat = np.concatenate([m_flat, d_set]) if len(d_set) else m_flat
+        if m_ids:
+            for i in np.nonzero(m_bh == d_bh)[0]:
+                mset = m_sets[i]
+                inter = int(np.isin(mset, d_set).sum())
+                union = len(mset) + len(d_set) - inter  # ≥ 1: non-empty
+                jacc = inter / union
+                if jacc >= threshold:
+                    m_id = m_ids[i]
+                    out1.append(min(m_id, d_id))
+                    out2.append(max(m_id, d_id))
+                    outj.append(jacc)
+        m_ids.append(d_id)
+        m_bh = np.append(m_bh, d_bh)
+        m_sets.append(d_set)
 
     if max_members is not None and len(m_ids) > max_members:
         # bounded-index regime: FIFO-evict the oldest members so state
-        # is O(max_members) per bucket — dedup against the most recent
+        # is O(max_members) per group — dedup against the most recent
         # corpus slice instead of all history (the standard memory lever
         # for an unbounded stream; recall loss is exactly the evicted
         # members' future pairs)
         drop = len(m_ids) - max_members
-        cut = int(m_lens[:drop].sum())
-        m_ids, m_lens, m_flat = m_ids[drop:], m_lens[drop:], m_flat[cut:]
+        m_ids, m_bh, m_sets = m_ids[drop:], m_bh[drop:], m_sets[drop:]
 
-    state.update((m_ids.tolist(), m_lens.tolist(), m_flat.tolist()))
+    state.update(
+        (
+            m_ids,
+            m_bh.tolist(),
+            [len(s) for s in m_sets],
+            np.concatenate(m_sets).tobytes() if m_sets else b"",
+        )
+    )
     if out1:
         yield pd.DataFrame(
             {"doc_id_1": out1, "doc_id_2": out2, "jaccard": outj}
@@ -200,6 +230,7 @@ def lsh_pairs_stream(
     docs: DataFrame,
     threshold: float = 0.5,
     max_bucket_members: int | None = None,
+    bucket_groups: int = 64,
 ) -> DataFrame:
     """Verified near-dup pairs over a streaming documents frame
     (doc_id, text). Emits each pair in the micro-batch where its later
@@ -207,32 +238,46 @@ def lsh_pairs_stream(
     (doc_id_1, doc_id_2) MERGE sink.
 
     ``max_bucket_members``: None (default) = dedup against ALL history —
-    exact batch equivalence, state ∝ corpus. An integer caps each
-    bucket's index at the most recent N members (FIFO) — state is
-    O(buckets × N) for an unbounded stream, and the emitted pairs are
+    exact batch equivalence, state ∝ corpus. An integer caps each state
+    group's index at the most recent N members (FIFO) — state is
+    O(groups × N) for an unbounded stream, and the emitted pairs are
     exactly the batch pairs minus those whose earlier member was evicted
-    from every shared bucket before the later one arrived (pinned in
-    tests: a subset, never a spurious pair)."""
+    before the later one arrived (pinned in tests: a subset, never a
+    spurious pair).
+
+    ``bucket_groups``: state-key coarsening factor — the stateful key is
+    (band, band_hash mod bucket_groups), so per-batch group invocations
+    are capped at 16 × bucket_groups while the candidate condition stays
+    exact band_hash equality (checked in-state). Results are
+    keying-invariant; only the invocation count and state-row sizes
+    change. Size it ≥ a few × shuffle partitions for parallelism and
+    small enough that a batch's arrivals share invocations."""
     from ..plans.documents_gold import doc_shingles
 
     # shingle-less docs can never verify at any threshold > 0 (batch
     # drops them at verification: 0/0 → NULL jaccard); dropping them
-    # BEFORE banding keeps every state segment non-empty (no reduceat
-    # empty-trailing-segment hazard) and the emitted pairs identical
+    # BEFORE banding keeps every state segment non-empty and the
+    # emitted pairs identical
     sh = doc_shingles(docs).filter(F.size("shingles") > 0)
     bands = sh.mapInPandas(_bands_with_hashes_udf, schema=_BAND_SCHEMA)
 
     def fn(key, pdf_iter, state):
-        return _process_bucket(
+        return _process_group(
             key, pdf_iter, state, threshold, max_bucket_members
         )
 
-    return bands.groupBy("band", "band_hash").applyInPandasWithState(
-        fn,
-        outputStructType=PAIRS_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return (
+        bands.withColumn(
+            "bucket_group", F.pmod(F.col("band_hash"), F.lit(bucket_groups))
+        )
+        .groupBy("band", "bucket_group")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=PAIRS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -272,6 +317,7 @@ def run_lsh_dedup_to_completion(
     max_files_per_trigger: int = 1,
     shuffle_partitions: int | None = None,
     max_bucket_members: int | None = None,
+    bucket_groups: int = 64,
 ):
     """Drain the doc stream through the stateful LSH index into an
     exactly-once MERGE sink keyed (doc_id_1, doc_id_2); returns the sink.
@@ -312,7 +358,7 @@ def run_lsh_dedup_to_completion(
     )
     try:
         q = (
-            lsh_pairs_stream(src, threshold, max_bucket_members)
+            lsh_pairs_stream(src, threshold, max_bucket_members, bucket_groups)
             .writeStream.queryName("lsh_pairs")
             .outputMode("update")
             .option(
