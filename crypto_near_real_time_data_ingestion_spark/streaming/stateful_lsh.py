@@ -25,10 +25,12 @@ per (doc × band) — measured 0.26 ms/membership. One group serves many
 buckets; candidates are still selected by EXACT band_hash equality
 (stored in-state), then verified with a vectorized membership pass per
 true candidate — total verify work ∝ real bucket collisions, the same
-candidate-generation bound as the batch band-bucket self-join. State grows with the corpus (16 bands ×
-docs) because corpus dedup never forgets by definition; for unbounded
-streams ``max_bucket_members`` caps each bucket at its most recent N
-members (FIFO) — state becomes O(buckets × N) and the result degrades
+candidate-generation bound as the batch band-bucket self-join.
+
+State grows with the corpus (16 bands × docs) because corpus dedup
+never forgets by definition; for unbounded streams
+``max_bucket_members`` caps each state group at its most recent N
+members (FIFO) — state becomes O(groups × N) and the result degrades
 predictably to dedup-against-the-recent-corpus (subset of the exact
 pairs, never spurious ones).
 
