@@ -242,6 +242,16 @@ def start_pipeline(
     if os.path.exists(wiring_path):
         with open(wiring_path) as f:
             prior = json.load(f)
+    # legacy work_dirs (created before the wiring file existed): a
+    # checkpoint directory NAMED after a sink is hard evidence that sink
+    # previously ran standalone from its own checkpoint — infer that
+    # wiring so re-keying it (e.g. activating a fold on an old work_dir)
+    # is refused instead of silently skipping its stale batch ids
+    for s in wiring:
+        if s not in prior and os.path.isdir(
+            os.path.join(work_dir, "checkpoints", s)
+        ):
+            prior[s] = s
     conflicts = {
         s: (prior[s], c) for s, c in wiring.items()
         if s in prior and prior[s] != c
@@ -253,12 +263,17 @@ def start_pipeline(
             f"logs (silent data loss): {conflicts}. Use a fresh work_dir, "
             "or restart with the same query topology."
         )
-    os.makedirs(work_dir, exist_ok=True)
-    # tmp + rename like every other commit-point file here: a crash
-    # mid-write must not brick an otherwise-resumable work_dir
-    with open(wiring_path + ".tmp", "w") as f:
-        json.dump({**prior, **wiring}, f, indent=2)
-    os.rename(wiring_path + ".tmp", wiring_path)
+
+    def _commit_wiring() -> None:
+        # called AFTER every query started (so a refused topology — this
+        # guard or _check_sink_alignment — leaves the file untouched and
+        # cannot poison later legitimate runs); tmp + rename like every
+        # other commit-point file: a crash mid-write must not brick an
+        # otherwise-resumable work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        with open(wiring_path + ".tmp", "w") as f:
+            json.dump({**prior, **wiring}, f, indent=2)
+        os.rename(wiring_path + ".tmp", wiring_path)
 
     def _mg_transform():
         from pyspark.sql import functions as F
@@ -492,6 +507,7 @@ def start_pipeline(
             sink, "pairs", ckpt("pairs"), "append", available_now, trigger_interval,
         )
 
+    _commit_wiring()
     return h
 
 

@@ -289,13 +289,27 @@ def build_doc_stream_source(
     """Chunk a documents parquet into an arrival-ordered file-stream
     source (one file per micro-batch at maxFilesPerTrigger=1) —
     deterministic: sorted by doc_id, contiguous slices."""
+    import json
     import os
     import shutil
 
     import pyarrow.parquet as pq
 
-    if os.path.isdir(out_dir) and sorted(os.listdir(out_dir)):
-        return out_dir
+    # the cache is only valid for the SAME (source, chunking): a sidecar
+    # records what produced the chunks, and any mismatch rebuilds —
+    # silently reusing another corpus's chunk set would be a wrong-input
+    # drain with no signal
+    meta = {
+        "src": os.path.abspath(docs_parquet),
+        "n_chunks": n_chunks,
+        "num_rows": pq.read_metadata(docs_parquet).num_rows,
+    }
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == meta:
+                return out_dir
+        shutil.rmtree(out_dir)
     # stage + rename: a crash mid-write must not leave a partial chunk
     # set that a later run would silently reuse as the whole corpus
     tmp = out_dir + ".tmp"
@@ -307,6 +321,11 @@ def build_doc_stream_source(
         chunk = t.slice(i * per, per)
         if chunk.num_rows:
             pq.write_table(chunk, os.path.join(tmp, f"part-{i:05d}.parquet"))
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    # a sidecar-less leftover dir (pre-sidecar cache, torn build) is
+    # untrusted — replace it
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)
     return out_dir
 
@@ -333,21 +352,18 @@ def run_lsh_dedup_to_completion(
     streams size it to bucket-state volume as usual. Restored after."""
     import os
 
+    from .engine import _check_sink_alignment
     from .sinks import ParquetMergeSink
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
+    # schema comes from the source files themselves: a hardcoded literal
+    # would silently NULL-fill renamed/retyped columns (doc_shingles then
+    # filters the NULL text and the drain "succeeds" with an empty pairs
+    # table) — deriving it makes drift fail loudly at analysis time
+    schema = spark.read.parquet(source_dir).schema
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -358,14 +374,19 @@ def run_lsh_dedup_to_completion(
         ["doc_id_1", "doc_id_2"],
         None,
     )
+    ckpt = os.path.join(work_dir, "checkpoints", "lsh_pairs")
+    # same resume-safety contract as the engine's queries: refuse to
+    # resume a checkpoint whose engine-committed batches are missing
+    # from the sink (e.g. the table dir was lost while the checkpoint
+    # survived) — those batches will never be replayed
+    _check_sink_alignment(ckpt, "lsh_pairs", sink, None)
     try:
         q = (
             lsh_pairs_stream(src, threshold, max_bucket_members, bucket_groups)
             .writeStream.queryName("lsh_pairs")
             .outputMode("update")
             .option(
-                "checkpointLocation",
-                os.path.join(work_dir, "checkpoints", "lsh_pairs"),
+                "checkpointLocation", ckpt,
             )
             .foreachBatch(sink.foreach_batch_handler())
             .trigger(availableNow=True)

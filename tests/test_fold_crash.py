@@ -138,6 +138,60 @@ def test_topology_switch_on_existing_work_dir_refuses(spark):
         assert json.load(f)["heavy_hitters"] == "silver"
 
 
+def test_refused_topology_does_not_poison_work_dir(spark, stream_parquet_dir):
+    """A refused fold attempt must leave the wiring file untouched: the
+    wiring is committed only after every query starts, so the failed
+    attempt cannot make a later LEGITIMATE topology (standalone
+    heavy_hitters with its own fresh checkpoint) spuriously refused."""
+    import json
+
+    from crypto_near_real_time_data_ingestion_spark.streaming.engine import (
+        run_pipeline_to_completion,
+    )
+
+    work = WORK + "_poison"
+    shutil.rmtree(work, ignore_errors=True)
+    fsrc = build_flushed_source(stream_parquet_dir, os.path.join(work, "source"))
+    run_pipeline_to_completion(
+        spark, fsrc, work, queries=("silver",), max_files_per_trigger=2
+    )
+    with pytest.raises(RuntimeError, match="never be replayed"):
+        run_pipeline_to_completion(
+            spark, fsrc, work,
+            queries=("silver", "heavy_hitters"), max_files_per_trigger=2,
+        )
+    with open(os.path.join(work, "_sink_wiring.json")) as f:
+        assert "heavy_hitters" not in json.load(f), "refused wiring persisted"
+    # standalone heavy_hitters (fresh own checkpoint, full re-drain) is
+    # safe and must still be allowed
+    h = run_pipeline_to_completion(
+        spark, fsrc, work, queries=("heavy_hitters",), max_files_per_trigger=2
+    )
+    assert h.sinks["heavy_hitters"].read(spark).count() > 0
+
+
+def test_legacy_work_dir_infers_standalone_wiring(spark, stream_parquet_dir):
+    """Pre-wiring-file work_dirs: a checkpoint dir NAMED after a sink is
+    proof it ran standalone, so activating a fold on such a work_dir
+    must be refused even with no _sink_wiring.json present."""
+    from crypto_near_real_time_data_ingestion_spark.streaming.engine import (
+        run_pipeline_to_completion,
+    )
+
+    work = WORK + "_legacy"
+    shutil.rmtree(work, ignore_errors=True)
+    fsrc = build_flushed_source(stream_parquet_dir, os.path.join(work, "source"))
+    run_pipeline_to_completion(
+        spark, fsrc, work, queries=("heavy_hitters",), max_files_per_trigger=2
+    )
+    os.remove(os.path.join(work, "_sink_wiring.json"))  # simulate legacy
+    with pytest.raises(RuntimeError, match="wiring changed"):
+        run_pipeline_to_completion(
+            spark, fsrc, work,
+            queries=("silver", "heavy_hitters"), max_files_per_trigger=2,
+        )
+
+
 def test_attach_sink_to_advanced_checkpoint_refuses(spark, stream_parquet_dir):
     """The wiring file can't catch a sink NEWLY attached to a checkpoint
     that advanced while the sink was absent (the mapping is new, not
