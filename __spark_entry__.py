@@ -133,7 +133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     path pytest-graded in test_gold_plans + test_property_based),
     events_dedup_latest (round 4, for streaming_lsh_pairs' slot: A6
     keep-latest stays driver-graded via silver_cleanse_dedup; the
-    events form stays oracle-pinned in test_gold_plans)."""
+    events form stays oracle-pinned in test_gold_plans), emb_near_dup
+    (round 4, for streaming_emb_pairs' slot: the batch GEMM is
+    bit-equal-pinned to the graded streaming form in test_streaming_emb
+    and oracle-pinned in test_documents_ops)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def _silver(spark, sf_dir):
@@ -145,6 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # batch minhash_lsh_pairs result, so it answers the SAME exact
     # all-pairs Jaccard oracle (recall-1.0 pinned at both sfs)
     q["streaming_lsh_pairs"] = _run_streaming_lsh
+    # streaming EXACT embedding near-dup (round 4): the sharded stateful
+    # GEMM index fed the corpus as an arrival-ordered stream emits
+    # bit-for-bit the batch broadcast_near_dup_pairs result
+    # (test_streaming_emb.py), so it answers the SAME exact all-pairs
+    # cosine oracle the retired batch entry answered
+    q["streaming_emb_pairs"] = _run_streaming_emb
     # winnowing fingerprints: custom hash re-derived in DuckDB SQL
     q["doc_winnow_fingerprints"] = lambda s, d: td_op.winnow_fingerprints(
         dg.read_documents(s, d)
@@ -314,12 +323,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dg.read_documents(s, d)
     )
     q["doc_curation"] = lambda s, d: dg.doc_curation_kept(dg.read_documents(s, d))
-    # exact cosine scorers as distributed block GEMMs (no driver collect);
-    # the pair-expression cross-join twins stay as in-repo ground truth
+    # exact cosine scorer as a distributed block GEMM (no driver collect);
+    # the pair-expression cross-join twins stay as in-repo ground truth.
+    # (emb_near_dup retired round 4 for streaming_emb_pairs' slot: the
+    # batch GEMM stays bit-equal-pinned to the graded streaming form in
+    # test_streaming_emb.py and oracle-pinned in test_documents_ops.py)
     q["emb_cosine_topk"] = lambda s, d: ann_op.broadcast_cosine_topk(
-        dg.read_embeddings(s, d)
-    )
-    q["emb_near_dup"] = lambda s, d: ann_op.broadcast_near_dup_pairs(
         dg.read_embeddings(s, d)
     )
 
@@ -486,6 +495,43 @@ def _run_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _stream_cache[key] = sink
     return sink.read(spark).select("doc_id_1", "doc_id_2", "jaccard")
+
+
+def _run_streaming_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact embedding near-dup over the embeddings table fed
+    as a 4-chunk arrival-ordered stream (streaming/stateful_emb.py): the
+    sharded stateful GEMM index emits each (cosine >= 0.45) pair in the
+    micro-batch where its later member arrives. Bit-equal to the batch
+    broadcast_near_dup_pairs (tests/test_streaming_emb.py), so it
+    answers the same exact all-pairs cosine oracle. Own drain + cache,
+    same isolation rationale as the LSH entry."""
+    import os
+    import shutil
+
+    from crypto_near_real_time_data_ingestion_spark.streaming.stateful_emb import (
+        run_emb_dedup_to_completion,
+    )
+    from crypto_near_real_time_data_ingestion_spark.streaming.stateful_lsh import (
+        build_doc_stream_source,
+    )
+
+    sf = sf_from_dir(sf_dir)
+    key = (spark.sparkContext.applicationId, sf, "emb")
+    sink = _stream_cache.get(key)
+    if sink is None:
+        src = build_doc_stream_source(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            f"{_fast_tmp()}/spark_graft_entry_emb_src_{sf}",
+            n_chunks=4,
+            key_col="vec_id",
+        )
+        work = f"{_fast_tmp()}/spark_graft_entry_emb_{sf}"
+        shutil.rmtree(work, ignore_errors=True)
+        sink = run_emb_dedup_to_completion(
+            spark, src, work, shuffle_partitions=8
+        )
+        _stream_cache[key] = sink
+    return sink.read(spark).select("vec_id_1", "vec_id_2", "cosine")
 
 
 def drain_streams(spark: SparkSession, sf_dir: str) -> object:
@@ -690,7 +736,12 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(
             k=5, table="embeddings"
         ),
-        "emb_near_dup": dg.EMB_NEAR_DUP_ORACLE_SQL_TEMPLATE.format(threshold=0.45),
+        # the streaming sharded index is bit-equal to the batch GEMM
+        # near-dup (pytest-pinned), so the exact all-pairs cosine oracle
+        # transfers unchanged
+        "streaming_emb_pairs": dg.EMB_NEAR_DUP_ORACLE_SQL_TEMPLATE.format(
+            threshold=0.45
+        ),
         # MinHash-LSH generates candidates then EXACT-verifies them, so its
         # output equals the exact-Jaccard query whenever band recall is 1.0
         # (true at 16 bands × 4 rows on this corpus; the pytest recall

@@ -1,0 +1,266 @@
+"""Streaming incremental EXACT embedding near-dup (stateful sharded GEMM).
+
+The embedding sibling of the streaming text-LSH index
+(``stateful_lsh.py``), for the other half of the dedup family: every
+arriving vector is scored against the ENTIRE accumulated corpus and
+each (cosine ≥ threshold) pair is emitted exactly once, in the
+micro-batch where its later member arrives. Unlike the text path —
+where the index is approximate by construction (LSH buckets) — this
+operator is EXACT: it emits bit-for-bit the pairs the batch
+``operators/ann.broadcast_near_dup_pairs`` finds over the same corpus
+(same float64 GEMM, same round-half-away(6), pinned by equality tests),
+so it answers the same exact all-pairs cosine oracle.
+
+Shape (the part that matters at scale):
+
+  vector stream → replicate each arrival to all S shards (explode) →
+  groupBy(shard) → applyInPandasWithState
+
+Each shard's keyed state holds the 1/S slice of the corpus whose
+``vec_id % S`` lands there (ids + one flat float64 binary — the same
+memcpy-not-boxing rationale as the LSH index payloads). A micro-batch
+of n arrivals costs each shard ONE (n × members/S) GEMM against its
+slice plus one (own × n) GEMM for in-batch pairs — the work is the
+same n × corpus scoring a batch backfill would do, distributed over S
+tasks, and each pair is produced by exactly one shard (a member lives
+in exactly one slice; an in-batch pair (a, b), a < b, is emitted by
+shard(a)). The shuffle per batch is n × S vector rows — the replication
+factor is the price of exactness, and S is the parallelism knob, not a
+correctness knob (results are shard-count-invariant, pinned in tests).
+
+Where this sits at 100 TB: exact all-pairs against an UNBOUNDED corpus
+is not a thing at scale — the production regimes are (a) dedup against
+a bounded reference index (a fingerprint set, a benchmark suite, the
+current candidate pool), which is exactly this operator with state =
+the reference sharded S ways, and (b) unbounded-corpus near-dup, which
+is the LSH family's job (``stateful_lsh.py`` streaming, ``ann.lsh_ann_topk``
+batch). ``max_members`` provides the same memory lever as the text
+index: cap each shard at its most recent N members (FIFO) and the
+result degrades predictably to dedup-against-the-recent-corpus (a
+subset of the exact pairs, never a spurious or mis-scored one).
+
+Reference parity: the reference has no streaming path and no vector
+ops at all; this extends its batch dedup semantic
+(``silver_transform_job.py`` drop-duplicates) to the continuous regime
+over the embedding modality, composed with the ANN family graded in
+``emb_near_dup`` / ``emb_cosine_topk``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.ann import _round6_half_away
+
+PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id_1", T.LongType()),
+        T.StructField("vec_id_2", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+# group state: this shard's slice of the corpus — member ids plus the
+# row-major float64 concatenation of their vectors (dim recoverable as
+# len(flat) / 8 / len(ids); all vectors share one dim by schema)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("flat", T.BinaryType()),
+    ]
+)
+
+
+def _pair_frame(
+    qi: np.ndarray, ci: np.ndarray, sims: np.ndarray, threshold: float,
+    strict_less: bool,
+) -> pd.DataFrame | None:
+    """Canonical (min, max, cosine) rows for the tile's over-threshold
+    entries. ``strict_less`` masks to qi < ci (the in-batch tile, where
+    both orientations and the diagonal are present); the member tile
+    keeps everything (ids are disjoint across the two sides)."""
+    sims = _round6_half_away(sims)
+    keep = sims >= threshold
+    if strict_less:
+        keep &= qi[:, None] < ci[None, :]
+    r, c = np.nonzero(keep)
+    if not len(r):
+        return None
+    a, b = qi[r], ci[c]
+    return pd.DataFrame(
+        {
+            "vec_id_1": np.minimum(a, b),
+            "vec_id_2": np.maximum(a, b),
+            "cosine": sims[r, c],
+        }
+    )
+
+
+def _cosine(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """The batch scorers' exact formula (``ann._block_pair_scores``):
+    one float64 GEMM over raw vectors, normalized by the ssq product —
+    NOT pre-normalized vectors, so the per-pair float math (and hence
+    the round6 value) matches the batch plan bit-for-bit."""
+    return (q @ c.T) / np.sqrt(
+        (q * q).sum(axis=1)[:, None] * (c * c).sum(axis=1)[None, :]
+    )
+
+
+def _process_shard(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    threshold: float,
+    n_shards: int,
+    max_members: int | None,
+) -> Iterator[pd.DataFrame]:
+    shard = int(key[0])
+    ids, flat = state.get if state.exists else ([], b"")
+    m_ids = np.asarray(ids, dtype=np.int64)
+    flat_arr = np.frombuffer(flat or b"", dtype=np.float64)
+
+    chunks: list[pd.DataFrame] = [pdf for pdf in pdf_iter if len(pdf)]
+    if not chunks:
+        return
+    batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    # ascending-id arrival order within the batch (the source is
+    # id-ordered; this makes in-batch semantics order-independent)
+    batch = batch.sort_values("vec_id", kind="stable")
+    arr_ids = batch["vec_id"].to_numpy(dtype=np.int64)
+    arr = np.stack(batch["v"].to_numpy()).astype(np.float64)
+    dim = arr.shape[1]
+    members = flat_arr.reshape(-1, dim) if len(m_ids) else None
+
+    # P1: arrivals × this shard's pre-batch members — each member lives
+    # in exactly one shard, so each (member, arrival) pair is produced
+    # exactly once across the group fan-out
+    if members is not None:
+        out = _pair_frame(
+            arr_ids, m_ids, _cosine(arr, members), threshold, False
+        )
+        if out is not None:
+            yield out
+
+    # P2: in-batch pairs — emitted by the shard that will OWN the
+    # earlier member (a < b ⇒ shard(a)), via the strict qi < ci mask
+    own = arr_ids % n_shards == shard
+    if own.any():
+        out = _pair_frame(
+            arr_ids[own], arr_ids, _cosine(arr[own], arr), threshold, True
+        )
+        if out is not None:
+            yield out
+
+        new_ids = np.concatenate([m_ids, arr_ids[own]])
+        new_flat = np.concatenate(
+            [flat_arr, arr[own].ravel()]
+        )
+        if max_members is not None and len(new_ids) > max_members:
+            # bounded-index regime: FIFO-evict the oldest members at
+            # batch end (same contract as the LSH index) — state is
+            # O(max_members) per shard; the loss is exactly the evicted
+            # members' future pairs, never a wrong pair
+            drop = len(new_ids) - max_members
+            new_ids = new_ids[drop:]
+            new_flat = new_flat[drop * dim :]
+        state.update((new_ids.tolist(), new_flat.tobytes()))
+
+
+def emb_near_dup_stream(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_shards: int = 16,
+    max_members: int | None = None,
+) -> DataFrame:
+    """Exact cosine-threshold near-dup pairs over a streaming embeddings
+    frame (vec_id, embedding). Emits each pair in the micro-batch where
+    its later member arrives; bit-equal to the batch
+    ``broadcast_near_dup_pairs`` once all vectors arrived."""
+
+    def fn(key, pdf_iter, state):
+        return _process_shard(
+            key, pdf_iter, state, threshold, n_shards, max_members
+        )
+
+    rows = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        # same float32→float64 upcast point as the batch block packers
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_shards - 1))
+        ).alias("shard"),
+    )
+    return rows.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=PAIRS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_emb_dedup_to_completion(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    threshold: float = 0.45,
+    max_files_per_trigger: int = 1,
+    shuffle_partitions: int | None = None,
+    n_shards: int | None = None,
+    max_members: int | None = None,
+):
+    """Drain the embedding stream through the sharded exact index into
+    an exactly-once MERGE sink keyed (vec_id_1, vec_id_2); returns the
+    sink. Resumable with the same contracts as the LSH drain: checkpoint
+    + per-batch sink commit log make a re-run a no-op, the state store
+    (the corpus slices) rolls back with a crashed batch, and a
+    checkpoint whose engine-committed batches are missing from the sink
+    is refused (those batches would never be replayed)."""
+    import os
+
+    from .engine import _check_sink_alignment
+    from .sinks import ParquetMergeSink
+
+    if n_shards is None:
+        n_shards = max(8, min(64, spark.sparkContext.defaultParallelism))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+
+    # schema derived from the source files (same drift rationale as the
+    # LSH runner: a hardcoded literal would NULL-fill renames silently)
+    schema = spark.read.parquet(source_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    sink = ParquetMergeSink(
+        os.path.join(work_dir, "tables", "emb_pairs"),
+        ["vec_id_1", "vec_id_2"],
+        None,
+    )
+    ckpt = os.path.join(work_dir, "checkpoints", "emb_pairs")
+    _check_sink_alignment(ckpt, "emb_pairs", sink, None)
+    try:
+        q = (
+            emb_near_dup_stream(src, threshold, n_shards, max_members)
+            .writeStream.queryName("emb_pairs")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink.foreach_batch_handler())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink

@@ -284,11 +284,13 @@ def lsh_pairs_stream(
 
 
 def build_doc_stream_source(
-    docs_parquet: str, out_dir: str, n_chunks: int = 4
+    docs_parquet: str, out_dir: str, n_chunks: int = 4, key_col: str = "doc_id"
 ) -> str:
-    """Chunk a documents parquet into an arrival-ordered file-stream
-    source (one file per micro-batch at maxFilesPerTrigger=1) —
-    deterministic: sorted by doc_id, contiguous slices."""
+    """Chunk a parquet table into an arrival-ordered file-stream source
+    (one file per micro-batch at maxFilesPerTrigger=1) — deterministic:
+    sorted by ``key_col``, contiguous slices. Shared by the streaming
+    text-LSH drain (documents, ``doc_id``) and the streaming embedding
+    near-dup drain (embeddings, ``vec_id``)."""
     import json
     import os
     import shutil
@@ -303,6 +305,7 @@ def build_doc_stream_source(
         "src": os.path.abspath(docs_parquet),
         "n_chunks": n_chunks,
         "num_rows": pq.read_metadata(docs_parquet).num_rows,
+        "key_col": key_col,
     }
     meta_path = os.path.join(out_dir, "_meta.json")
     if os.path.exists(meta_path):
@@ -315,7 +318,7 @@ def build_doc_stream_source(
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
-    t = pq.read_table(docs_parquet).sort_by("doc_id")
+    t = pq.read_table(docs_parquet).sort_by(key_col)
     per = -(-t.num_rows // n_chunks)
     for i in range(n_chunks):
         chunk = t.slice(i * per, per)

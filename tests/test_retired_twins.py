@@ -27,6 +27,9 @@ guard that registration stays inside the graded window:
   events_dedup_latest (round 4,   | test_gold_plans.py (A6 keep-latest
     for streaming_lsh_pairs'slot) |   stays driver-graded via
                                   |   silver_cleanse_dedup)
+  emb_near_dup (round 4, for      | test_streaming_emb.py (bit-equal to
+    streaming_emb_pairs' slot)    |   the graded streaming form) +
+                                  |   test_documents_ops.py (oracle)
 """
 
 from __future__ import annotations
@@ -66,7 +69,8 @@ def test_registration_stays_inside_graded_window():
     # if the window shrank slightly
     names = list(q)
     for must_be_early in (
-        "streaming_lsh_pairs", "doc_winnow_fingerprints",
+        "streaming_lsh_pairs", "streaming_emb_pairs",
+        "doc_winnow_fingerprints",
         "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_ivfpq_ann_topk",
         "media_features", "media_metadata", "streaming_rank",
     ):
