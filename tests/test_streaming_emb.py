@@ -88,6 +88,31 @@ def test_shard_count_is_not_a_correctness_knob(spark):
     pd.testing.assert_frame_equal(frames[0], frames[1])
 
 
+def test_chunk_count_is_not_a_correctness_knob(spark):
+    """A single-chunk drain (every pair found by the in-batch GEMM
+    path) equals the 4-chunk drain (most pairs found by the
+    arrivals-vs-members path) — arrival batching only moves pairs
+    between the two tiles, it cannot change the set or the values."""
+    work = WORK + "_c1"
+    shutil.rmtree(work, ignore_errors=True)
+    src = build_doc_stream_source(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        os.path.join(work, "source"),
+        n_chunks=1,
+        key_col="vec_id",
+    )
+    sink = run_emb_dedup_to_completion(spark, src, work, shuffle_partitions=8)
+    got = (
+        sink.read(spark)
+        .select("vec_id_1", "vec_id_2", "cosine")
+        .toPandas()
+        .sort_values(["vec_id_1", "vec_id_2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _batch_pairs(spark)[got.columns])
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def test_bounded_index_is_exact_subset(spark):
     """max_members: a huge cap changes nothing; a tiny cap yields a
     SUBSET of the exact pairs, every survivor carrying the exact batch
