@@ -292,12 +292,61 @@ class ParquetMergeSink:
             and (b := int(f[len("batch-") : -len(".json")])) > through
         )
 
+    def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        """One fold-and-present definition shared by ``read`` and
+        ``read_as_of`` (the additive sink overrides THIS, so time travel
+        inherits each sink's own merge semantics)."""
+        return self._compact_frame(spark.read.parquet(*paths)).drop("__batch_id")
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Merged view: latest committed version of every key (upsert)."""
         paths = self._live_paths()
         if not paths:
             raise FileNotFoundError(f"no committed batches in {self.table_dir}")
-        return self._compact_frame(spark.read.parquet(*paths)).drop("__batch_id")
+        return self._read_from_paths(spark, paths)
+
+    # -- time travel ---------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        """Batch ids the table can still be read AS OF: the compaction
+        horizon (the oldest reconstructible point — earlier history was
+        expired by ``compact``'s GC, exactly Iceberg snapshot
+        expiration) plus every live delta id."""
+        through = self.compacted_through()
+        return ([through] if through >= 0 else []) + self.committed_batches()
+
+    def read_as_of(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        """Merged view as it stood after ``batch_id`` committed — the
+        Iceberg/Delta ``VERSION AS OF`` analog on the LSM-ish layout.
+
+        Pure PATH selection, zero row filtering: a delta directory holds
+        only rows of its own batch, so the prefix view is the fold of
+        the snapshot plus every delta dir with id ≤ ``batch_id`` — the
+        same per-class ``_compact_frame`` the current view uses, over
+        fewer inputs. History below the compaction marker is gone by
+        design (``compact`` stamps the snapshot's rows with the fold
+        horizon and GCs the deltas — retention is the compaction
+        cadence), so asking for it fails loudly instead of returning
+        the nearest surviving state."""
+        through = self.compacted_through()
+        if batch_id < through:
+            raise ValueError(
+                f"history expired: batch {batch_id} predates the compaction "
+                f"horizon {through} (oldest reconstructible version; see "
+                "versions()) — earlier states were folded and GC'd, the "
+                "Iceberg snapshot-expiration semantic"
+            )
+        paths = [self._snapshot_path(through)] if through >= 0 else []
+        paths += [
+            os.path.join(self.data_dir, f"batch-{b:08d}")
+            for b in self.committed_batches()
+            if b <= batch_id
+        ]
+        if not paths:
+            raise FileNotFoundError(
+                f"no committed batches at or before {batch_id} in {self.table_dir}"
+            )
+        return self._read_from_paths(spark, paths)
 
     def manifests(self) -> list[dict]:
         out = []
@@ -411,14 +460,13 @@ class AdditiveSummarySink(ParquetMergeSink):
             F.sum("count").alias("count"), F.sum("decrement").alias("decrement")
         )
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
         from ..operators.heavy_hitters import _SENTINEL
 
-        paths = self._live_paths()
-        if not paths:
-            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
         # ONE definition of the additive fold (_compact_frame) serves both
-        # the snapshot writer and this merged view — they cannot drift
+        # the snapshot writer and this merged view — they cannot drift.
+        # read() and read_as_of() both land here, so time travel on the
+        # sketch sink reports the certified bound AS OF that prefix too.
         merged = self._compact_frame(spark.read.parquet(*paths)).withColumnRenamed(
             "decrement", "dec"
         )
