@@ -499,6 +499,64 @@ WHERE hash_byte < CASE WHEN predicted_lang = 'en' THEN 64 ELSE 128 END
 )
 
 
+def doc_weighted_sample(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per source:
+    the Efraimidis-Spirakis exponential race — every doc draws
+    ``key = -ln(u) / w`` (u hash-uniform from md5(doc_id), w = its text
+    length) and the k SMALLEST keys per stratum win, which selects with
+    probability proportional to weight, without replacement, in one
+    pass. The practical upgrade over ``doc_stratified_sample``'s
+    hash-threshold (uniform within stratum): sample exemplars ∝ quality
+    / length / any per-doc weight, still RNG-free, rerun- and
+    append-stable (a doc's key never changes), and distribution-shaped
+    rather than rate-shaped.
+
+    Scale shape: the key is one map-side expression; selection is the
+    map-side-trimmed ``grouped_topk`` (shuffle carries ≤ k rows per
+    stratum per Arrow batch, never the corpus). The float key stays OUT
+    of the output (ln() is libm-dependent in the last ulp — the
+    SELECTION is ulp-robust because 48-bit-hash key gaps dwarf ulp
+    error, but the float value itself is not hash-gradable; same
+    venue rule as ``doc_unigram_logprob``)."""
+    from ..operators.topk import grouped_topk
+
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 48))
+    d = (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("double").alias("w"),
+        )
+        .withColumn("es_key", -F.log(u) / F.col("w"))
+    )
+    return grouped_topk(
+        d, keys=["source"], order_col="es_key", k=k, tiebreak="doc_id",
+        ascending=True,
+    ).select("doc_id", "source", F.col("w").cast("long").alias("weight"), "rank")
+
+
+DOC_WEIGHTED_SAMPLE_ORACLE_SQL_TEMPLATE = """
+WITH keyed AS (
+    SELECT doc_id, source, length(text) AS weight,
+           -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+                + 0.5) / 281474976710656.0) / length(text) AS es_key
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+), ranked AS (
+    SELECT doc_id, source, weight,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY es_key ASC, doc_id ASC) AS rank
+    FROM keyed
+)
+SELECT doc_id, source, weight, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def doc_mixture_weights(docs: DataFrame) -> DataFrame:
     """Mixture/epoch weighting: emit each doc ``n_copies`` times per its
     stratum's target weight (en ×1, non-en ×3 — upweight the scarce

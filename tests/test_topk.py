@@ -99,3 +99,63 @@ def test_topk_plan_trims_before_exchange(spark):
     # physical plan prints top-down: Window appears ABOVE (before) the
     # MapInPandas it consumes
     assert win_pos < map_pos
+
+
+def test_doc_weighted_sample_oracle_and_reference(spark):
+    """Efraimidis-Spirakis weighted sample: Spark == DuckDB oracle == an
+    independent numpy reference (triple agreement), plus the invariants
+    that make it a SAMPLE: k per stratum (or the whole stratum when
+    smaller), no duplicates, drawn from the corpus, deterministic."""
+    import hashlib
+    import math
+
+    K = 5
+    got = dg.doc_weighted_sample(dg.read_documents(spark, SF_DIR), k=K)
+    want = duck_sql(dg.DOC_WEIGHTED_SAMPLE_ORACLE_SQL_TEMPLATE.format(k=K))
+    assert_df_equal(got, want, sort_cols=["source", "rank"], rtol=0)
+
+    # independent reference: recompute the race in plain python
+    docs = duck_sql(
+        f"SELECT doc_id, source, text FROM read_parquet('{SF_DIR}/documents.parquet') "
+        "WHERE text IS NOT NULL AND length(text) > 0"
+    )
+    keys = {}
+    for _, r in docs.iterrows():
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:12], 16)
+        u = (h + 0.5) / float(1 << 48)
+        keys.setdefault(r["source"], []).append(
+            (-math.log(u) / len(r["text"]), r["doc_id"])
+        )
+    want_ids = {
+        src: [d for _, d in sorted(ks)[:K]] for src, ks in keys.items()
+    }
+    got_pdf = got.toPandas().sort_values(["source", "rank"])
+    for src, grp in got_pdf.groupby("source"):
+        assert list(grp["doc_id"]) == want_ids[src], src
+        assert len(grp) == min(K, len(keys[src]))
+    assert got_pdf["doc_id"].is_unique
+    # determinism across plans: a second invocation is identical
+    again = dg.doc_weighted_sample(dg.read_documents(spark, SF_DIR), k=K)
+    pd.testing.assert_frame_equal(
+        got_pdf.reset_index(drop=True),
+        again.toPandas().sort_values(["source", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_doc_weighted_sample_favors_weight(spark):
+    """Planted corpus: one stratum, k=1, one doc 10^5x heavier than the
+    rest — the race must pick it (its key is bounded by 34/w_huge,
+    below any realistic light-doc key on this planted fixture; verified
+    against the same reference computation rather than assumed)."""
+    import hashlib
+    import math
+
+    rows = [(i, "x" * 10, "s") for i in range(50)] + [(99, "y" * 1_000_000, "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = dg.doc_weighted_sample(docs, k=1).toPandas()
+    keys = []
+    for doc_id, text, _ in rows:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+        keys.append((-math.log((h + 0.5) / float(1 << 48)) / len(text), doc_id))
+    assert list(got["doc_id"]) == [min(keys)[1]]
+    assert min(keys)[1] == 99, "fixture must make the heavy doc win"
