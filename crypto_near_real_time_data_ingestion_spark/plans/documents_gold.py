@@ -466,6 +466,64 @@ FROM h
 """
 
 
+def doc_epoch_shuffle(
+    docs: DataFrame, seed: int = 0, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic epoch shuffle: (doc_id, shard, pos) — the global
+    training-order permutation for one epoch, derived entirely from
+    md5(seed ':' doc_id). A training run reads shard s sequentially by
+    pos; changing ``seed`` (= the epoch number) re-permutes everything.
+
+    Scale shape — the way to \"globally shuffle\" 10^12 rows without a
+    global sort: the hash key IS the random order, so shard assignment
+    is a map-side byte test and the only exchange is hashpartitioning
+    on ``shard``; each shard sorts locally under a window (no
+    single-partition global window anywhere — plan-asserted). At 100 TB
+    raise n_shards so one shard's rows fit an executor sort; balance is
+    exact when n_shards divides 256 (the byte grid) and binomial-tight
+    otherwise. Reruns and appends are stable: a doc's (shard, key) never
+    changes, so late-arriving docs splice into the order instead of
+    re-dealing it."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    d = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", key.alias("key"))
+        .withColumn(
+            "shard",
+            (
+                F.conv(F.substring("key", 1, 2), 16, 10).cast("int")
+                % n_shards
+            ),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return d.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
+def doc_epoch_shuffle_oracle_sql(seed: int = 0, n_shards: int = 8) -> str:
+    return f"""
+WITH k AS (
+    SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS key
+    FROM documents WHERE text IS NOT NULL
+),
+h AS (
+    SELECT doc_id, key,
+           CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(key, 2, 1)) - 1
+              AS INTEGER) % {n_shards} AS shard
+    FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
 def doc_stratified_sample(docs: DataFrame) -> DataFrame:
     """Per-stratum hash sampling: keep a deterministic fraction of each
     language stratum (en 25%, unknown 50%) by thresholding the key hash
