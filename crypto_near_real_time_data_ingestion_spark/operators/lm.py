@@ -74,7 +74,11 @@ def bigram_kn_model(docs: DataFrame, discount: float = KN_DISCOUNT) -> DataFrame
     counts; the context (c(w1 ·), N1+(w1 ·)) and continuation
     (N1+(· w2)) tables derive from it with vocabulary-sized aggregates
     and join back co-keyed; N1+(· ·) is a 1-row broadcast."""
-    cnt = _doc_bigrams(docs).groupBy("w1", "w2").agg(
+    return _kn_model_from_bigrams(_doc_bigrams(docs), discount)
+
+
+def _kn_model_from_bigrams(bg: DataFrame, discount: float) -> DataFrame:
+    cnt = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     ctx = cnt.groupBy("w1").agg(
@@ -108,7 +112,12 @@ def doc_bigram_kn_logprob(
     corpus (see module note on OOV)."""
     bg = _doc_bigrams(docs)
     if model is None:
-        model = bigram_kn_model(docs, discount)
+        # self-scoring consumes the bigram expansion twice (model counts
+        # + the scoring join); a lazy localCheckpoint materializes the
+        # corpus-wide tokenize/explode once and is ContextCleaner-
+        # released with the result (never cache() — see ann.py note)
+        bg = bg.localCheckpoint(eager=False)
+        model = _kn_model_from_bigrams(bg, discount)
     scored = bg.join(model, ["w1", "w2"]).groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.avg(-F.col("logp")).alias("mean_neg_logprob"),

@@ -45,7 +45,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .ann import _block_pair_scores, _bucket_pack, _kmeans_fit, _round6_half_away
+from .ann import (
+    _block_pair_scores,
+    _bucket_pack,
+    _kmeans_fit,
+    _round6_half_away,
+    _threshold_pair_emit,
+)
 from .clusters import connected_components
 
 ASSIGN_SCHEMA = T.StructType(
@@ -126,17 +132,7 @@ def emb_semdedup_pairs(
         "cell",
     )
 
-    def emit(qi: np.ndarray, ci: np.ndarray, sims: np.ndarray):
-        sims = _round6_half_away(sims)
-        keep = (qi[:, None] < ci[None, :]) & (sims >= threshold)
-        r, c = np.nonzero(keep)
-        if not len(r):
-            return None
-        return pd.DataFrame(
-            {"vec_id": qi[r], "neighbor_id": ci[c], "cosine": sims[r, c]}
-        )
-
-    return _block_pair_scores(tiles, emit).select(
+    return _block_pair_scores(tiles, _threshold_pair_emit(threshold)).select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("neighbor_id").alias("vec_id_2"),
         "cosine",
@@ -169,7 +165,11 @@ def emb_semdedup(
     # the assignment seeds pairs, the closure vertex set AND the keep
     # rule — localCheckpoint (ContextCleaner-released), never cache()
     assign = _assign_cells(emb, centroids).localCheckpoint(eager=True)
-    pairs = emb_semdedup_pairs(assign, emb, threshold, sub_blocks)
+    # lazy checkpoint: the GEMM scoring pass runs once (materialized by
+    # the closure's first action) even when stats_out re-counts pairs
+    pairs = emb_semdedup_pairs(assign, emb, threshold, sub_blocks).localCheckpoint(
+        eager=False
+    )
     cc = connected_components(
         assign.select("vec_id"),
         pairs.select("vec_id_1", "vec_id_2"),

@@ -441,8 +441,15 @@ def doc_split_assign(docs: DataFrame) -> DataFrame:
     """Leakage-safe train/val/test split (80/10/10) keyed on a hash of
     doc_id — the standard way to split 10^12 rows with NO shuffle, no
     global sort, and stability under reruns/appends (a doc keeps its
-    split forever; new docs land proportionally)."""
-    b = _md5_byte(F.col("doc_id"))
+    split forever; new docs land proportionally).
+
+    The hash is SALTED ('split:' prefix) so the byte draw is independent
+    of every other md5(doc_id)-keyed decision in the pipeline —
+    unsalted, the decontamination holdout (byte ≥ 240) would carve its
+    slice entirely out of this op's own test band (byte ≥ 230), leaving
+    a released test split of 10/240 ≈ 4.2% instead of the declared 10%
+    (found composing the two in ``plans/assembly.py``)."""
+    b = _md5_byte(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
     return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         b.alias("hash_byte"),
@@ -453,8 +460,8 @@ def doc_split_assign(docs: DataFrame) -> DataFrame:
 DOC_SPLIT_ORACLE_SQL = """
 WITH h AS (
     SELECT doc_id,
-           CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-              + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+           CAST((strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
               AS INTEGER) AS hash_byte
     FROM documents WHERE text IS NOT NULL
 )
@@ -476,14 +483,16 @@ def doc_epoch_shuffle(
 
     Scale shape — the way to \"globally shuffle\" 10^12 rows without a
     global sort: the hash key IS the random order, so shard assignment
-    is a map-side byte test and the only exchange is hashpartitioning
-    on ``shard``; each shard sorts locally under a window (no
-    single-partition global window anywhere — plan-asserted). At 100 TB
-    raise n_shards so one shard's rows fit an executor sort; balance is
-    exact when n_shards divides 256 (the byte grid) and binomial-tight
-    otherwise. Reruns and appends are stable: a doc's (shard, key) never
-    changes, so late-arriving docs splice into the order instead of
-    re-dealing it."""
+    is a map-side hash-prefix test and the only exchange is
+    hashpartitioning on ``shard``; each shard sorts locally under a
+    window (no single-partition global window anywhere — plan-asserted).
+    At 100 TB raise n_shards so one shard's rows fit an executor sort:
+    the shard draws on the first 32 hash bits, so any n_shards up to
+    ~10^6 stays binomial-tight (an 8-bit draw would leave shards > 256
+    permanently empty and give non-divisors a deterministic 2× skew).
+    Reruns and appends are stable: a doc's (shard, key) never changes,
+    so late-arriving docs splice into the order instead of re-dealing
+    it."""
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
     d = (
         docs.filter(F.col("text").isNotNull())
@@ -491,9 +500,9 @@ def doc_epoch_shuffle(
         .withColumn(
             "shard",
             (
-                F.conv(F.substring("key", 1, 2), 16, 10).cast("int")
+                F.conv(F.substring("key", 1, 8), 16, 10).cast("long")
                 % n_shards
-            ),
+            ).cast("int"),
         )
     )
     w = Window.partitionBy("shard").orderBy("key", "doc_id")
@@ -505,6 +514,12 @@ def doc_epoch_shuffle(
 
 
 def doc_epoch_shuffle_oracle_sql(seed: int = 0, n_shards: int = 8) -> str:
+    # first 8 hex digits → 32-bit int, digit by digit (DuckDB has no
+    # hex-string → int cast); horner form matches Spark's conv(…,16,10)
+    nibble = "(strpos('0123456789abcdef', substr(key, {i}, 1)) - 1)"
+    hex32 = " + ".join(
+        f"{nibble.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
     return f"""
 WITH k AS (
     SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS key
@@ -512,9 +527,7 @@ WITH k AS (
 ),
 h AS (
     SELECT doc_id, key,
-           CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
-              + strpos('0123456789abcdef', substr(key, 2, 1)) - 1
-              AS INTEGER) % {n_shards} AS shard
+           CAST(CAST({hex32} AS BIGINT) % {n_shards} AS INTEGER) AS shard
     FROM k
 )
 SELECT doc_id, shard,

@@ -49,8 +49,8 @@ def test_epoch_shuffle_seed_sensitivity(spark):
 
 
 def test_epoch_shuffle_balance_and_plan(spark):
-    """n_shards=8 divides the byte grid → binomial-tight balance; and the
-    executed plan's only exchange is hashpartitioning on shard — no
+    """The 32-bit shard draw keeps any small n_shards binomial-tight; and
+    the executed plan's only exchange is hashpartitioning on shard — no
     single-partition global sort anywhere."""
     docs = read_documents(spark, SF_DIR)
     df = doc_epoch_shuffle(docs, n_shards=8)
