@@ -146,6 +146,18 @@ def _vec_blocks(emb: DataFrame, block_size: int, prefix: str) -> DataFrame:
     )
 
 
+def _gemm_cosine(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """THE exact cosine formula of the whole family — one float64 GEMM
+    over RAW vectors normalized by the ssq product (never pre-normalized
+    vectors: that changes the per-pair float math and hence the round6
+    value). Single definition shared by every batch tile scorer here and
+    the streaming sharded index (``streaming/stateful_emb.py``), whose
+    driver grade depends on bit-parity with the batch plans."""
+    return (q @ c.T) / np.sqrt(
+        (q * q).sum(axis=1)[:, None] * (c * c).sum(axis=1)[None, :]
+    )
+
+
 def _block_pair_scores(
     pairs: DataFrame, emit
 ) -> DataFrame:
@@ -165,10 +177,7 @@ def _block_pair_scores(
                 ci = np.asarray(c_ids, dtype=np.int64)
                 q = np.stack(q_vecs).astype(np.float64)
                 c = np.stack(c_vecs).astype(np.float64)
-                sims = (q @ c.T) / np.sqrt(
-                    (q * q).sum(axis=1)[:, None] * (c * c).sum(axis=1)[None, :]
-                )
-                out = emit(qi, ci, sims)
+                out = emit(qi, ci, _gemm_cosine(q, c))
                 if out is not None and len(out):
                     yield out
 

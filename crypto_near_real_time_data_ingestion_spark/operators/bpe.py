@@ -119,7 +119,6 @@ def _greedy_merge_positions(match: np.ndarray) -> np.ndarray:
     idx = np.nonzero(match)[0]
     if len(idx) == 0:
         return idx
-    run_start = np.zeros(len(idx), dtype=np.int64)
     new_run = np.concatenate(([True], np.diff(idx) > 1))
     run_start = idx[new_run][np.cumsum(new_run) - 1]
     return idx[(idx - run_start) % 2 == 0]

@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.ann import _round6_half_away
+from ..operators.ann import _gemm_cosine, _round6_half_away
 
 PAIRS_SCHEMA = T.StructType(
     [
@@ -103,14 +103,10 @@ def _pair_frame(
     )
 
 
-def _cosine(q: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """The batch scorers' exact formula (``ann._block_pair_scores``):
-    one float64 GEMM over raw vectors, normalized by the ssq product —
-    NOT pre-normalized vectors, so the per-pair float math (and hence
-    the round6 value) matches the batch plan bit-for-bit."""
-    return (q @ c.T) / np.sqrt(
-        (q * q).sum(axis=1)[:, None] * (c * c).sum(axis=1)[None, :]
-    )
+# the exact cosine formula is ann._gemm_cosine — ONE definition for the
+# batch tiles and this streaming index, so the bit-parity the driver
+# grade depends on cannot drift (pinned in test_streaming_emb.py)
+_cosine = _gemm_cosine
 
 
 def _process_shard(
