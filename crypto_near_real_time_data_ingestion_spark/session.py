@@ -57,6 +57,14 @@ def get_spark(
         # data-skipping index for read_time_range)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # catalog tables (bucketed layouts — sources/bucketed.py) land
+        # under the gitignored data root, never the process CWD
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/root/repo/data/warehouse"
+            ),
+        )
         # streaming
         .config("spark.sql.streaming.schemaInference", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
