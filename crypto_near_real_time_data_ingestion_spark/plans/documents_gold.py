@@ -1140,7 +1140,7 @@ def doc_decontaminate_bloom(
     pandas-UDF row, so unlike the exact path there is NO per-shingle
     explode and NO groupBy(doc_id) shuffle.
     """
-    from ..operators.bloom import bloom_count_members, build_bloom
+    from ..operators.bloom import build_bloom
 
     sh = doc_shingles(docs, n).withColumn("hb", _md5_byte(F.col("doc_id")))
     eval_grams = (
@@ -1149,6 +1149,29 @@ def doc_decontaminate_bloom(
         .distinct()
     )
     words = build_bloom(eval_grams, "s", m_bits, k)
+    return bloom_overlap_flags(docs, words, n, threshold, eval_byte_min, m_bits, k)
+
+
+def bloom_overlap_flags(
+    docs: DataFrame,
+    words,
+    n: int = 3,
+    threshold: float = DECONTAM_THRESHOLD,
+    eval_byte_min: int = DECONTAM_EVAL_BYTE_MIN,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """The probe+flag stage of ``doc_decontaminate_bloom`` against an
+    already-built bitmap (``words``: the int64 array ``build_bloom``
+    returns). Entirely map-only (shingle expressions + one vectorized
+    pandas-UDF membership count — no explode, no shuffle), so it applies
+    unchanged to a STREAMING frame: the streaming decontamination gate
+    (``streaming/decontam.py``) runs exactly this stage per micro-batch
+    against the static bitmap, which is what makes its equality to the
+    batch op structural rather than coincidental."""
+    from ..operators.bloom import bloom_count_members
+
+    sh = doc_shingles(docs, n).withColumn("hb", _md5_byte(F.col("doc_id")))
     train = sh.filter(F.col("hb") < eval_byte_min)
     counted = bloom_count_members(
         train, "shingles", words, m_bits, k, out="n_overlap"
