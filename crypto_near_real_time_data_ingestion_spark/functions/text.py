@@ -26,6 +26,17 @@ WORD_RE = "[A-Za-z0-9]+"
 BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+def word_tokens(col: Column) -> Column:
+    """THE word tokenization of the whole text family (lowercase +
+    ``WORD_RE`` extraction) — one definition so a tokenization change
+    cannot silently diverge op/oracle or stream/batch twins (the same
+    single-definition rule as ``ann._gemm_cosine``). Group index 0
+    because the pattern is group-less (Spark gotcha)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), 0)
+
+
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count (0 for empty/null-safe handled by caller)."""
     t = F.trim(col)

@@ -26,16 +26,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import WORD_RE
+from ..functions.text import word_tokens
 
 BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _doc_lengths(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl) for EVERY non-null-text doc — including dl=0 docs,
+    which must count toward N and avgdl (Lucene counts the whole
+    collection; deriving stats from the exploded term stream would
+    silently drop token-less docs and inflate every IDF)."""
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("dl"),
+    )
+
+
 def _doc_terms(docs: DataFrame) -> DataFrame:
     """(doc_id, dl, term) — one row per token occurrence, with the
     document length carried alongside (computed once, in-row)."""
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    toks = word_tokens(F.col("text"))
     return (
         docs.filter(F.col("text").isNotNull())
         .select("doc_id", toks.alias("toks"))
@@ -56,17 +67,16 @@ def bm25_score(
     """(doc_id, n_matched, score): BM25 of every document containing at
     least one query term (non-matching docs are absent by construction —
     their score is 0). ``n_matched`` = distinct query terms present."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
     t = _doc_terms(docs)
-    # corpus stats BEFORE the term filter: N and avgdl describe the
-    # whole collection, not the matching subset
-    stats = (
-        t.groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-        )
+    # corpus stats from the per-doc length frame, BEFORE any term
+    # filter or explode: N and avgdl describe the whole collection,
+    # token-less docs included
+    stats = _doc_lengths(docs).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
     )
     tf = (
         t.filter(F.col("term").isin(terms))
@@ -121,6 +131,8 @@ def bm25_oracle_sql(
     query_terms: list[str], k1: float = BM25_K1, b: float = BM25_B
 ) -> str:
     """Independent DuckDB formulation over the same parquet views."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     in_list = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in query_terms)
     return f"""
 WITH l AS (
@@ -129,8 +141,8 @@ WITH l AS (
 ),
 t AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM l),
 stats AS (
-    SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
-    FROM (SELECT doc_id, any_value(dl) AS dl FROM t GROUP BY doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len(toks)) AS avgdl
+    FROM l
 ),
 tf AS (
     SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import WORD_RE
+from ..functions.text import word_tokens
 
 KN_DISCOUNT = 0.75
 
@@ -51,7 +51,7 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, w1, w2) — one row per adjacent token pair, built with an
     in-row indexed ``transform`` (map-only; docs with < 2 tokens emit
     nothing and are re-attached as n_bigrams=0 by the scorer)."""
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    toks = word_tokens(F.col("text"))
     return (
         docs.filter(F.col("text").isNotNull())
         .select("doc_id", toks.alias("toks"))

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import WORD_RE
+from ..functions.text import WORD_RE, word_tokens
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 N_PERMS = 64
@@ -377,7 +377,7 @@ def winnow_fingerprints(docs: DataFrame, window: int = 4) -> DataFrame:
     distinct selected fingerprint — the shape a containment join
     consumes (and the shape the driver canonicalizer can hash)."""
     # winnowing needs positional shingles: rebuild without array_distinct
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    toks = word_tokens(F.col("text"))
     d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
     idx = F.when(
         F.size("toks") >= 3, F.sequence(F.lit(1), F.size("toks") - 2)

@@ -32,10 +32,10 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     BPE_ISH_RE,
     STOPWORDS,
-    WORD_RE,
     char_classes,
     token_count_bpe_ish,
     token_count_ws,
+    word_tokens,
 )
 
 
@@ -162,7 +162,7 @@ JACCARD_THRESHOLD = 0.5
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc."""
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    toks = word_tokens(F.col("text"))
     d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
     # guard: Spark's sequence(1, 0) is DESCENDING, not empty — gate on size
     idx = F.when(
@@ -330,7 +330,7 @@ def doc_chunks(
     ``slice``/``concat_ws``): whole-stage codegen, zero Python, no
     shuffle — the plan a 100 TB corpus split wants (chunk fan-out is
     map-side; downstream repartition is the consumer's choice)."""
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    toks = word_tokens(F.col("text"))
     d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
     # token-less docs (empty / punctuation-only / non-ASCII text) must be
     # dropped BEFORE sequence(): sequence(1, 0, stride) raises in Spark,
@@ -1014,7 +1014,7 @@ def doc_repetition_stats(docs: DataFrame) -> DataFrame:
     formulation whose shuffle carries every gram occurrence in the
     corpus. The fold runs over the SORTED array, where "max frequency"
     becomes "longest run of equal neighbours"."""
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    toks = word_tokens(F.col("text"))
     d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
     idx = F.when(
         F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
@@ -1295,7 +1295,7 @@ def _cross_dup_starts(docs: DataFrame, n: int):
     countDistinct), one groupBy(doc_id) of the matched starts. Factored
     so a tokenization or window fix can never drift between the two ops
     (their consistency is pinned by test)."""
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    toks = word_tokens(F.col("text"))
     d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
     idx = F.when(
         F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
@@ -1507,7 +1507,7 @@ def doc_unigram_logprob(docs: DataFrame) -> DataFrame:
     dependent in the last ulp, so this is deliberately NOT a value-hash
     driver entry; every integer column still matches exactly).
     """
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    toks = word_tokens(F.col("text"))
     d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
     t = d.select("doc_id", F.explode("toks").alias("t"))
     freq = t.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -2,10 +2,20 @@
 
 Batch decontamination (``doc_decontaminate_bloom``) re-scans the corpus
 after the fact; at a continuously-ingested corpus the cheaper place for
-the check is the ingest path itself — every arriving document is probed
-against the (static) eval/benchmark bitmap IN the micro-batch that
-delivers it, so contaminated docs are flagged before they ever reach a
-training shard.
+the check is the ingest path itself — every arriving TRAIN-side document
+is probed against the (static) eval/benchmark bitmap IN the micro-batch
+that delivers it, so contaminated docs are flagged before they ever
+reach a training shard.
+
+Scope of the output (same contract as the batch op): only train-side
+docs — ``hash_byte < eval_byte_min`` — appear in the flags sink; the
+eval slice itself is neither probed nor emitted (it is the REFERENCE,
+not a candidate). With the default ``eval_byte_min`` this mirrors the
+batch same-corpus md5-slice convention; when the bitmap comes from a
+genuinely EXTERNAL benchmark (``build_eval_bitmap`` over any eval
+frame), pass ``eval_byte_min=256`` so every arriving doc is probed and
+emitted — otherwise ~(256−eval_byte_min)/256 of arrivals would silently
+skip the gate.
 
 Scale shape: the bitmap is a driver-side int64 array bounded by
 m_bits/64 REGARDLESS of reference-set size (the Bloom trade), broadcast
@@ -70,7 +80,10 @@ def run_decontam_gate_to_completion(
     returns the sink path. The bitmap is built once, batch-side, from
     the SAME corpus's eval slice (mirroring the batch op, so the two
     are row-comparable); a re-run over the same work_dir replays
-    nothing (file-source checkpoint + file-sink transaction log)."""
+    nothing (file-source checkpoint + file-sink transaction log).
+    For an external-benchmark bitmap, build ``words`` yourself and pass
+    ``eval_byte_min=256`` (see module docstring) — the default slices
+    the holdout out of the probed stream by construction."""
     batch_docs = spark.read.parquet(docs_parquet)
     words = build_eval_bitmap(
         batch_docs.filter(_md5_byte(F.col("doc_id")) >= eval_byte_min),

@@ -34,34 +34,41 @@ def test_bm25_matches_duckdb_oracle(spark):
 
 def test_bm25_planted_semantics(spark):
     """Hand-sized corpus: tf raises the score but saturates under k1;
-    a rare term outscores a common one at equal tf and length; docs
-    with no query term are absent."""
+    a RARER term outscores a commoner one at equal tf and length (the
+    IDF weighting itself, not a tf side effect); docs with no query
+    term are absent; token-less docs still count toward N."""
     rows = [(i, "padding words here") for i in range(10, 30)]  # bulk corpus
     rows += [
         (1, "apple apple apple apple banana"),
-        (2, "apple banana zebra zebra"),  # same dl=5? no: dl=4
+        (2, "apple banana zebra zebra"),
         (3, "banana banana banana"),
-        (4, "zebra apple banana extra"),  # dl=4, tf(apple)=1 = doc2
+        (4, "zebra apple banana extra"),
+        (5, "apple pad pad pad"),   # tf=1, dl=4 — matches the COMMON term
+        (6, "zebra pad pad pad"),   # tf=1, dl=4 — matches the RARE term
+        (7, "??? !!!"),             # zero tokens: counts in N, never scores
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     s = {
         r["doc_id"]: r["score"]
         for r in bm25_score(docs, ["apple", "zebra"]).collect()
     }
-    # absence: docs 3 and 10..29 contain neither query term
-    assert set(s) == {1, 2, 4}
+    # absence: docs 3, 7 and 10..29 contain neither query term
+    assert set(s) == {1, 2, 4, 5, 6}
     # tf monotone: doc1 (tf=4) beats doc4 (tf=1) on 'apple' alone…
     apple = {
         r["doc_id"]: r["score"] for r in bm25_score(docs, ["apple"]).collect()
     }
     assert apple[1] > apple[4] > 0
-    # …but saturates below the idf·(k1+1) ceiling
-    n_docs, df_apple = 24, 3
+    # …but saturates below the idf·(k1+1) ceiling — n_docs=27 INCLUDES
+    # the token-less doc 7 (the Lucene whole-collection semantics this
+    # test exists to pin); df(apple)=4 (docs 1, 2, 4, 5)
+    n_docs, df_apple = 27, 4
     idf = math.log((n_docs - df_apple + 0.5) / (df_apple + 0.5) + 1.0)
     assert apple[1] < idf * (BM25_K1 + 1.0)
-    # rare-term dominance: doc2 and doc4 have identical length and
-    # tf(apple)=1, but doc2 adds the rarer 'zebra' (df=2 vs df=3) twice
-    assert s[2] > s[4]
+    # rare-term dominance PROPER: docs 5 and 6 have identical tf (1) and
+    # dl (4), differing ONLY in which term they match — zebra's lower df
+    # (3 vs 4) must win; with a constant IDF they would tie
+    assert s[6] > s[5]
 
 
 def test_bm25_topk_consistent_with_scores(spark):
