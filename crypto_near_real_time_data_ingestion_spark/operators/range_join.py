@@ -26,10 +26,14 @@ are AQE's job, same as any hot join key.
 
 Semantics: inner join, half-open containment lo <= t < hi (the
 window-semantics convention everywhere in this engine); intervals with
-lo > hi match nothing (guarded — Spark's ``sequence(a, b)`` DESCENDS
-when b < a rather than being empty). Numeric domains; join time
-columns via ``epoch_us`` casts, mirroring the integer-µs discipline of
-the gold plans.
+lo >= hi match nothing (guarded — Spark's ``sequence(a, b)`` DESCENDS
+when b < a rather than being empty). INTEGER domains: bins are computed
+in exact long arithmetic (pmod + integral ``div``), because the obvious
+``floor(col / w)`` goes through double division and silently drops
+matching pairs past 2^53 (a long t and hi that round to the same double
+can land the point one bin PAST the interval's last replica). Join time
+columns via ``epoch_us`` casts — the integer-µs discipline of the gold
+plans; scale float domains to integers first.
 """
 
 from __future__ import annotations
@@ -39,14 +43,29 @@ from pyspark.sql import functions as F
 
 
 def _derive_bin_width(intervals: DataFrame, lo: str, hi: str) -> int:
-    """Average interval span, floored at 1 — one 1-row driver agg over
-    a column-pruned scan (the offline knob-fit shape; pass bin_width
-    explicitly to skip it)."""
-    row = intervals.agg(
-        F.avg(F.col(hi) - F.col(lo)).alias("span")
-    ).collect()[0]
+    """Average VALID-interval span, floored at 1 — one 1-row driver agg
+    over a column-pruned scan (the offline knob-fit shape; pass
+    bin_width explicitly to skip it). Inverted/empty intervals are
+    excluded: they match nothing, but their negative spans would drag
+    the average toward 1 and blow up every valid interval's replica
+    count (sequence length ∝ span/w)."""
+    row = (
+        intervals.filter(F.col(lo) < F.col(hi))
+        .agg(F.avg(F.col(hi) - F.col(lo)).alias("span"))
+        .collect()[0]
+    )
     span = row["span"]
     return max(1, int(span)) if span is not None else 1
+
+
+def _floor_div(col_name: str, w: int, negate: bool = False):
+    """floor(col/w) (or ceil = −floor(−col/w) with ``negate``) in EXACT
+    long arithmetic: pmod's non-negative remainder makes the subtraction
+    land on the floor multiple, and integral ``div`` of an exact
+    multiple is exact — no double rounding anywhere (see module note)."""
+    c = f"(- `{col_name}`)" if negate else f"`{col_name}`"
+    e = F.expr(f"({c} - pmod({c}, {w})) div {w}")
+    return -e if negate else e
 
 
 def range_join(
@@ -61,13 +80,18 @@ def range_join(
     on the bin id. Output columns = points' ++ intervals' (the caller
     disambiguates name clashes beforehand, as with any join)."""
     w = bin_width if bin_width is not None else _derive_bin_width(intervals, lo, hi)
-    p = points.withColumn("_bin", F.floor(F.col(t) / w))
-    # last covered bin = ceil(hi/w) − 1: right for any numeric domain,
-    # including hi exactly on a bin boundary (half-open ⇒ that bin is
-    # NOT covered); lo < hi guarantees the sequence ascends (Spark's
-    # sequence DESCENDS on inverted bounds instead of being empty)
+    if w < 1:
+        raise ValueError(f"bin_width must be >= 1, got {w}")
+    for side, name in ((points, "points"), (intervals, "intervals")):
+        if "_bin" in side.columns:
+            raise ValueError(f"{name} already has a '_bin' column")
+    p = points.withColumn("_bin", _floor_div(t, w))
+    # last covered bin = ceil(hi/w) − 1, including hi exactly on a bin
+    # boundary (half-open ⇒ that bin is NOT covered); lo < hi guarantees
+    # the sequence ascends (Spark's sequence DESCENDS on inverted bounds
+    # instead of being empty)
     covered = F.sequence(
-        F.floor(F.col(lo) / w), F.ceil(F.col(hi) / w) - 1
+        _floor_div(lo, w), _floor_div(hi, w, negate=True) - 1
     )
     i = intervals.withColumn(
         "_bin",

@@ -76,6 +76,40 @@ def test_range_join_matches_naive_fuzzed(spark, ts, spans, w):
     assert got == want
 
 
+def test_range_join_exact_past_double_precision(spark):
+    """Bins are exact long arithmetic: at t ≈ 2^54 a double-division
+    floor rounds t and hi to the same double and bins the point one bin
+    PAST the interval's last replica, silently dropping the pair (the
+    bug this test pins); pmod+div must keep it."""
+    base = 1 << 54
+    points = [(0, base + 1), (1, base - 11)]  # in, out (below lo)
+    intervals = [(0, base - 10, base + 2)]
+    p, i = _frames(spark, points, intervals)
+    for w in (2, 3, 1000):
+        got = _pairs(range_join(p, i, "t", "lo", "hi", bin_width=w))
+        assert got == [(0, 0)], (w, got)
+
+
+def test_range_join_guards(spark):
+    """bin_width < 1 raises (a zero width would NULL every bin and
+    return silently empty); a caller '_bin' column raises; the derived
+    width ignores inverted intervals (their negative spans would drag
+    w to 1 and explode the valid intervals' replica counts)."""
+    import pytest as _pytest
+
+    from crypto_near_real_time_data_ingestion_spark.operators.range_join import (
+        _derive_bin_width,
+    )
+
+    p, i = _frames(spark, [(0, 5)], [(0, 0, 10)])
+    with _pytest.raises(ValueError, match="bin_width"):
+        range_join(p, i, "t", "lo", "hi", bin_width=0)
+    with _pytest.raises(ValueError, match="_bin"):
+        range_join(p.withColumn("_bin", F.lit(1)), i, "t", "lo", "hi", bin_width=1)
+    _, inv = _frames(spark, [], [(0, 0, 1000), (1, 2000, 0)])
+    assert _derive_bin_width(inv, "lo", "hi") == 1000
+
+
 def test_range_join_plan_is_equi_join_not_cartesian(spark):
     """The reformulation's whole point: the naive theta join plans a
     nested-loop/cartesian; the binned one plans an equi-join."""
