@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from ..operators.bpe import bpe_encode, bpe_train
 from ..operators.clusters import doc_dup_clusters
+from ..operators.fingerprint import dataset_fingerprint
 from .documents_gold import (
     PACK_BUDGET,
     doc_corpus_stats,
@@ -66,7 +67,10 @@ def assemble_dataset(
     (doc_id → train/val/test), ``merges`` (the learned BPE table, a
     driver-side list), ``tokens`` (doc_id → BPE token sequence),
     ``packed`` (chunk → fixed-budget training sequence assignment),
-    ``card`` (the per-stratum dataset card)."""
+    ``card`` (the per-stratum dataset card), ``fingerprint`` (the
+    order/partition/engine-invariant content hash of the released ids —
+    the release-manifest identity a rerun or a second engine must
+    reproduce; ``operators/fingerprint.py``)."""
     kept = doc_curation_kept(docs).select("doc_id")
     # decontaminate covers the train-side docs only; the eval holdout
     # slice is absent from its output, so this join also drops it
@@ -95,6 +99,7 @@ def assemble_dataset(
         survivors, budget=pack_budget, n_buckets=n_buckets
     )
     card = doc_corpus_stats(survivors)
+    fp = dataset_fingerprint(survivors, ["doc_id"]).collect()[0]
     return {
         "survivors": survivors,
         "splits": splits,
@@ -102,4 +107,5 @@ def assemble_dataset(
         "tokens": tokens,
         "packed": packed,
         "card": card,
+        "fingerprint": (fp["n_rows"], fp["fingerprint"]),
     }

@@ -100,3 +100,19 @@ def test_assemble_dataset_end_to_end(spark):
     # 8. the card covers exactly the released set
     card = res["card"].toPandas()
     assert card["n_docs"].sum() == len(ids)
+
+    # 9. the release fingerprint is reproducible and id-derived: a rerun
+    # stamps the identical (n_rows, hash), and it matches the standalone
+    # op over the released ids
+    from crypto_near_real_time_data_ingestion_spark.operators.fingerprint import (
+        dataset_fingerprint,
+    )
+
+    n, fp = res["fingerprint"]
+    assert n == len(ids)
+    want_fp = dataset_fingerprint(
+        res["survivors"].select("doc_id"), ["doc_id"]
+    ).collect()[0]
+    assert (n, fp) == (want_fp["n_rows"], want_fp["fingerprint"])
+    res2 = assemble_dataset(docs, n_merges=N_MERGES)
+    assert res2["fingerprint"] == (n, fp)
