@@ -99,7 +99,10 @@ def assemble_dataset(
         survivors, budget=pack_budget, n_buckets=n_buckets
     )
     card = doc_corpus_stats(survivors)
-    fp = dataset_fingerprint(survivors, ["doc_id"]).collect()[0]
+    # hash the checkpointed released-id manifest, not survivors: the id
+    # sets are identical (survivors = docs ⋈ reps) and reps skips the
+    # redundant full-docs scan+join this eager collect would re-run
+    fp = dataset_fingerprint(reps, ["doc_id"]).collect()[0]
     return {
         "survivors": survivors,
         "splits": splits,

@@ -25,9 +25,14 @@ sys.path.insert(0, REPO)
 
 N_POINTS = int(os.environ.get("RJ_DEMO_POINTS", "100000"))
 N_INTERVALS = int(os.environ.get("RJ_DEMO_INTERVALS", "5000"))
-DOMAIN = 1_000_000
-MAX_SPAN = 200
+DOMAIN = int(os.environ.get("RJ_DEMO_DOMAIN", "1000000"))
+MAX_SPAN = int(os.environ.get("RJ_DEMO_MAX_SPAN", "200"))
 REPS = int(os.environ.get("RJ_DEMO_REPS", "2"))
+# the 10^12-comparison BASELINE row: the theta join never finishes
+# (DNF > 600 s), so reproducing it needs the naive side skipped —
+# binned-only timing + pair count, no equality assert (the invariance
+# evidence comes from the completing sizes)
+SKIP_NAIVE = os.environ.get("RJ_DEMO_SKIP_NAIVE") == "1"
 
 
 def main() -> None:
@@ -69,29 +74,29 @@ def main() -> None:
         intervals, (F.col("lo") <= F.col("t")) & (F.col("t") < F.col("hi"))
     )
     binned = lambda: range_join(points, intervals, "t", "lo", "hi")
-    naive_s = best_of("naive-theta", naive)
     binned_s = best_of("binned", binned)
-
-    got = {(r["pid"], r["iid"]) for r in binned().select("pid", "iid").collect()}
-    want = {(r["pid"], r["iid"]) for r in naive().select("pid", "iid").collect()}
-    assert got == want, "binned range join diverged from the theta join"
-
-    print(
-        json.dumps(
-            {
-                "metric": "range_join_scale_demo",
-                "n_points": N_POINTS,
-                "n_intervals": N_INTERVALS,
-                "theta_comparisons": N_POINTS * N_INTERVALS,
-                "n_pairs": len(want),
-                "naive_s": round(naive_s, 1),
-                "binned_s": round(binned_s, 1),
-                "speedup": round(naive_s / binned_s, 2),
-                "pairs_equal": True,
-            },
-            separators=(",", ":"),
+    out = {
+        "metric": "range_join_scale_demo",
+        "n_points": N_POINTS,
+        "n_intervals": N_INTERVALS,
+        "theta_comparisons": N_POINTS * N_INTERVALS,
+        "binned_s": round(binned_s, 1),
+    }
+    if SKIP_NAIVE:
+        out["n_pairs"] = binned().count()
+        out["naive_s"] = "DNF(skipped)"
+    else:
+        naive_s = best_of("naive-theta", naive)
+        got = {(r["pid"], r["iid"]) for r in binned().select("pid", "iid").collect()}
+        want = {(r["pid"], r["iid"]) for r in naive().select("pid", "iid").collect()}
+        assert got == want, "binned range join diverged from the theta join"
+        out.update(
+            n_pairs=len(want),
+            naive_s=round(naive_s, 1),
+            speedup=round(naive_s / binned_s, 2),
+            pairs_equal=True,
         )
-    )
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 
