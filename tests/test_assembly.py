@@ -116,3 +116,29 @@ def test_assemble_dataset_end_to_end(spark):
     assert (n, fp) == (want_fp["n_rows"], want_fp["fingerprint"])
     res2 = assemble_dataset(docs, n_merges=N_MERGES)
     assert res2["fingerprint"] == (n, fp)
+
+
+def test_assemble_dataset_empty_corpus(spark):
+    """A curation config that filters everything is a routine production
+    event: every stage must degrade to its empty artifact — no stage may
+    crash on an empty upstream (kmeans-less pipeline, empty merge table,
+    (0, 0) fingerprint)."""
+    from pyspark.sql import DataFrame
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, source string, lang string, text string"
+    )
+    res = assemble_dataset(docs, n_merges=4)
+    counts = {
+        k: (v.count() if isinstance(v, DataFrame) else v)
+        for k, v in res.items()
+    }
+    assert counts == {
+        "survivors": 0,
+        "splits": 0,
+        "merges": [],
+        "tokens": 0,
+        "packed": 0,
+        "card": 0,
+        "fingerprint": (0, 0),
+    }
