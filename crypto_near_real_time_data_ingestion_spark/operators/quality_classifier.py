@@ -38,7 +38,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import STOPWORDS, word_tokens
+from ..functions.text import stopword_hits, word_tokens
+
+N_FEATURES = 5
 
 GRAD_SCHEMA = T.StructType(
     [
@@ -52,12 +54,15 @@ GRAD_SCHEMA = T.StructType(
 def doc_quality_features(docs: DataFrame) -> DataFrame:
     """(doc_id, features array<double>): the in-row quality signals a
     fastText-style filter feeds on — length, token shape, stopword and
-    punctuation mass. Pure Catalyst, no shuffle."""
+    punctuation mass. Pure Catalyst, no shuffle. Stopword mass counts
+    OCCURRENCES (``stopword_hits``, the same definition as
+    ``doc_text_stats``' stopword_ratio) and punctuation mass excludes
+    ALL whitespace (the ``char_classes`` n_punct definition), so the
+    classifier's signals agree with the rest of the engine."""
     toks = word_tokens(F.col("text"))
     n_tok = F.size(toks)
     n_chars = F.length("text")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    n_stop = stopword_hits(F.col("text"))
     mean_wlen = F.when(
         n_tok > 0,
         F.aggregate(
@@ -65,7 +70,9 @@ def doc_quality_features(docs: DataFrame) -> DataFrame:
         )
         / n_tok,
     ).otherwise(F.lit(0.0))
-    non_alnum = n_chars - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+    non_alnum = n_chars - F.length(
+        F.regexp_replace("text", "[^A-Za-z0-9\\s]", "")
+    )
     return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.array(
@@ -78,18 +85,28 @@ def doc_quality_features(docs: DataFrame) -> DataFrame:
     )
 
 
-def _standardize(feats: DataFrame) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+def _standardize(
+    feats: DataFrame, carry: tuple[str, ...] = ()
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     """Z-score columns with corpus moments (one aggregate); returns the
-    standardized frame and the (mean, std) vectors for later scoring."""
-    dim = len(feats.select("features").first()["features"])
+    standardized frame (doc_id, *carry, x) and the (mean, std) vectors
+    for later scoring. ``carry`` columns ride through so callers never
+    need a self-join back onto the feature lineage."""
+    dim = N_FEATURES
     agg = feats.agg(
+        F.count(F.lit(1)).alias("n"),
         *[F.avg(F.col("features")[i]).alias(f"m{i}") for i in range(dim)],
         *[F.stddev_pop(F.col("features")[i]).alias(f"s{i}") for i in range(dim)],
     ).collect()[0]
+    if agg["n"] == 0:
+        raise ValueError(
+            "quality classifier: no labeled documents with non-null text"
+        )
     mu = np.array([agg[f"m{i}"] for i in range(dim)])
     sd = np.array([max(agg[f"s{i}"], 1e-12) for i in range(dim)])
     std = feats.select(
         "doc_id",
+        *carry,
         F.array(
             *[
                 (F.col("features")[i] - float(mu[i])) / float(sd[i])
@@ -109,63 +126,73 @@ def train_quality_classifier(
 ) -> dict:
     """Train on (doc_id, label∈{0,1}) rows; returns {"w": weights incl.
     bias (last), "mu": …, "sd": …, "losses": per-iteration mean loss}.
-    One 1-row gradient aggregate per iteration — see module docstring."""
+    One 1-row gradient aggregate per iteration — see module docstring.
+    The L2 penalty excludes the intercept (textbook form — penalizing
+    the bias shrinks every score toward 0.5 on imbalanced corpora)."""
     feats = doc_quality_features(docs).join(labels, "doc_id")
-    std, mu, sd = _standardize(
-        feats.select("doc_id", "features")
-    )
+    std, mu, sd = _standardize(feats, carry=("label",))
     data = (
-        std.join(feats.select("doc_id", "label"), "doc_id")
-        .select("x", F.col("label").cast("double").alias("y"))
-        .localCheckpoint()  # iterations must not replay the feature lineage
+        std.select("x", F.col("label").cast("double").alias("y"))
+        .persist()  # iterations must not replay the feature lineage
     )
+    data.count()  # materialize before the loop
     dim = len(mu) + 1  # + bias
     spark = docs.sparkSession
     w = np.zeros(dim)
+    # per-coordinate L2 mask: no penalty on the bias (last entry)
+    l2_mask = np.ones(dim)
+    l2_mask[-1] = 0.0
     losses: list[float] = []
-    for _ in range(n_iter):
-        bc = spark.sparkContext.broadcast(w)
+    try:
+        for _ in range(n_iter):
+            bc = spark.sparkContext.broadcast(w)
 
-        def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            wv = bc.value
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                X = np.stack(pdf["x"].to_numpy()).astype(np.float64)
-                X = np.hstack([X, np.ones((len(X), 1))])
-                y = pdf["y"].to_numpy(dtype=np.float64)
-                z = X @ wv
-                p = 1.0 / (1.0 + np.exp(-z))
-                # log-loss via the numerically stable softplus form
-                loss = float(
-                    np.sum(np.logaddexp(0.0, z) - y * z)
-                )
-                yield pd.DataFrame(
-                    {
-                        "g": [(X.T @ (p - y)).tolist()],
-                        "loss": [loss],
-                        "n": [len(X)],
-                    }
-                )
+            def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                wv = bc.value
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+                    X = np.hstack([X, np.ones((len(X), 1))])
+                    y = pdf["y"].to_numpy(dtype=np.float64)
+                    z = X @ wv
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    # log-loss via the numerically stable softplus form
+                    loss = float(
+                        np.sum(np.logaddexp(0.0, z) - y * z)
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "g": [(X.T @ (p - y)).tolist()],
+                            "loss": [loss],
+                            "n": [len(X)],
+                        }
+                    )
 
-        row = (
-            data.mapInPandas(part, schema=GRAD_SCHEMA)
-            .agg(
-                F.array(
-                    *[
-                        F.sum(F.col("g")[i]).alias(f"g{i}")
-                        for i in range(dim)
-                    ]
-                ).alias("g"),
-                F.sum("loss").alias("loss"),
-                F.sum("n").alias("n"),
+            row = (
+                data.mapInPandas(part, schema=GRAD_SCHEMA)
+                .agg(
+                    F.array(
+                        *[
+                            F.sum(F.col("g")[i]).alias(f"g{i}")
+                            for i in range(dim)
+                        ]
+                    ).alias("g"),
+                    F.sum("loss").alias("loss"),
+                    F.sum("n").alias("n"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        n = row["n"]
-        grad = np.array(row["g"]) / n + l2 * w
-        losses.append(row["loss"] / n + 0.5 * l2 * float(w @ w))
-        w = w - lr * grad
+            bc.destroy()  # the iteration's job is done; free both sides
+            n = row["n"]
+            grad = np.array(row["g"]) / n + l2 * l2_mask * w
+            losses.append(
+                row["loss"] / n
+                + 0.5 * l2 * float(w[:-1] @ w[:-1])
+            )
+            w = w - lr * grad
+    finally:
+        data.unpersist()
     return {"w": w, "mu": mu, "sd": sd, "losses": losses}
 
 

@@ -27,14 +27,18 @@ def _numpy_reference(X, y, n_iter=N_ITER, lr=0.5, l2=1e-3):
     mu, sd = X.mean(axis=0), np.maximum(X.std(axis=0), 1e-12)
     Xs = np.hstack([(X - mu) / sd, np.ones((len(X), 1))])
     w = np.zeros(Xs.shape[1])
+    # L2 excludes the intercept (last weight), matching the op
+    mask = np.ones(Xs.shape[1])
+    mask[-1] = 0.0
     losses = []
     for _ in range(n_iter):
         z = Xs @ w
         p = 1.0 / (1.0 + np.exp(-z))
         losses.append(
-            float(np.mean(np.logaddexp(0.0, z) - y * z)) + 0.5 * l2 * float(w @ w)
+            float(np.mean(np.logaddexp(0.0, z) - y * z))
+            + 0.5 * l2 * float(w[:-1] @ w[:-1])
         )
-        w = w - lr * (Xs.T @ (p - y) / len(Xs) + l2 * w)
+        w = w - lr * (Xs.T @ (p - y) / len(Xs) + l2 * mask * w)
     return w, losses
 
 
@@ -94,6 +98,24 @@ def test_planted_corpus_separates_and_scores_order(spark):
     assert min(scores[d] for d, _, _ in clean) > max(
         scores[d] for d, _, _ in junk
     )
+
+
+def test_empty_labeled_set_fails_loudly(spark):
+    """No labeled docs (or all labeled text NULL) must raise a clear
+    error, not an opaque NoneType crash — the same loud-degradation
+    contract as the assembly capstone."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "s", "some text"), (2, "s", None)],
+        "doc_id long, source string, text string",
+    )
+    no_overlap = spark.createDataFrame([(99, 1)], "doc_id long, label int")
+    with pytest.raises(ValueError, match="no labeled documents"):
+        train_quality_classifier(docs, no_overlap, n_iter=1)
+    null_text = spark.createDataFrame([(2, 1)], "doc_id long, label int")
+    with pytest.raises(ValueError, match="no labeled documents"):
+        train_quality_classifier(docs, null_text, n_iter=1)
 
 
 def test_scoring_is_map_only(spark):
