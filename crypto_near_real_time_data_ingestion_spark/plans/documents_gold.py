@@ -1488,6 +1488,121 @@ FROM l LEFT JOIN kept k ON l.doc_id = k.doc_id
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide line dedup (CCNet/RefinedWeb paragraph rule)
+# ---------------------------------------------------------------------------
+
+LINE_DEDUP_MAX_DUP_FRAC = 0.3
+
+
+def doc_line_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-wide exact LINE dedup — the CCNet/RefinedWeb paragraph
+    rule, distinct from ``doc_dedup_spans`` (token n-gram grain) and
+    ``doc_exact_dedup`` (whole-document grain): every line keeps only
+    its FIRST occurrence across the whole corpus (order = (doc_id,
+    pos)); all later occurrences are cut. Whitespace-only lines are
+    exempt (they are formatting, not boilerplate — dedup'ing '' would
+    strip every blank separator after the corpus's first). Emits the
+    MassiveText doc-drop signal too: ``drop_doc`` when more than
+    ``LINE_DEDUP_MAX_DUP_FRAC`` of a doc's lines were duplicates.
+
+    Plan shape (the 100 TB-safe one): posexplode is map-only; the
+    first-occurrence table reduces with a map-side partial agg keyed by
+    the line's md5 (shuffle ∝ distinct lines), filtered to lines that
+    actually duplicate; one hash join keyed by the md5 decides each
+    occurrence's fate; removed positions fold to one small array per
+    affected doc; the cut itself is the same IN-ROW Catalyst gather as
+    ``doc_dedup_spans`` (array_except over the position sequence — no
+    Python, no second pass over the text). Whole-doc duplicates are a
+    special case: a later exact copy of a single-line doc loses its
+    only line (consistency with ``doc_exact_dedup`` is pinned in
+    tests)."""
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", "\n", -1).alias("lines")
+    )
+    occ = d.select("doc_id", F.posexplode("lines").alias("pos", "line"))
+    cand = occ.filter(F.trim("line") != "")
+    winners = (
+        cand.groupBy(F.md5("line").alias("h"))
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .filter("c > 1")
+        .select("h", "first_occ")
+    )
+    removed = (
+        cand.withColumn("h", F.md5("line"))
+        .join(winners, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("rm"))
+    )
+    kept_pos = F.array_sort(
+        F.array_except(F.sequence(F.lit(0), F.size("lines") - 1), F.col("rm"))
+    )
+    kept = F.transform(kept_pos, lambda p: F.element_at(F.col("lines"), p + 1))
+    n_lines = F.size("lines").cast("long")
+    frac = (F.col("n_lines") - F.size("kept")).cast("double") / F.col("n_lines")
+    return (
+        d.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_lines.alias("n_lines"),
+            F.when(F.col("rm").isNull(), F.col("lines"))
+            .otherwise(kept)
+            .alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.size("kept").cast("long").alias("n_kept"),
+            frac.alias("dup_line_frac"),
+            (frac > LINE_DEDUP_MAX_DUP_FRAC).alias("drop_doc"),
+            F.array_join("kept", "\n").alias("text_clean"),
+        )
+    )
+
+
+DOC_LINE_DEDUP_ORACLE_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split(text, chr(10)) AS lines
+    FROM documents WHERE text IS NOT NULL
+),
+occ AS (
+    SELECT doc_id, pos, lines[pos] AS line
+    FROM (SELECT doc_id, unnest(generate_series(1, len(lines))) AS pos, lines
+          FROM d)
+),
+r AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY md5(line)
+                              ORDER BY doc_id, pos) AS rn
+    FROM occ WHERE trim(line) <> ''
+),
+removed AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+kept AS (
+    SELECT occ.doc_id,
+           coalesce(string_agg(occ.line, chr(10) ORDER BY occ.pos)
+                        FILTER (WHERE removed.pos IS NULL), '') AS text_clean,
+           CAST(count(*) FILTER (WHERE removed.pos IS NULL) AS BIGINT) AS n_kept
+    FROM occ
+    LEFT JOIN removed ON occ.doc_id = removed.doc_id AND occ.pos = removed.pos
+    GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.lines) AS BIGINT) AS n_lines,
+       k.n_kept,
+       CAST(len(d.lines) - k.n_kept AS DOUBLE) / len(d.lines) AS dup_line_frac,
+       (CAST(len(d.lines) - k.n_kept AS DOUBLE) / len(d.lines)) > 0.3 AS drop_doc,
+       k.text_clean
+FROM d JOIN kept k USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # unigram log-probability quality score (CCNet-style perplexity proxy)
 # ---------------------------------------------------------------------------
 

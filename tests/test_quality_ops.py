@@ -284,3 +284,119 @@ def test_dedup_spans_consistent_with_stats(spark):
         F.col("removed") != F.col("n_dup_positions")
     )
     assert diff.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line dedup (CCNet/RefinedWeb paragraph rule)
+# ---------------------------------------------------------------------------
+
+LINE_DOCS = [
+    (0, "alpha\nbeta\ngamma"),   # all first occurrences
+    (1, "beta\nxray\n\ngamma"),  # beta+gamma removed; blank line exempt
+    (2, "beta\nbeta"),           # both removed (first beta lives in doc 0)
+    (3, "unique only"),          # untouched single line
+    (4, None),                   # filtered
+    (5, "  \nzulu\n"),           # whitespace-only + trailing '' exempt
+    (6, "zulu"),                 # removed ((5,1) precedes (6,0))
+]
+
+
+@pytest.fixture(scope="module")
+def line_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("lines") / "documents.parquet")
+    spark.createDataFrame(LINE_DOCS, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_line_dedup_matches_oracle(spark):
+    from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
+        DOC_LINE_DEDUP_ORACLE_SQL,
+        doc_line_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = doc_line_dedup(docs)
+    want = duck_sql(DOC_LINE_DEDUP_ORACLE_SQL)
+    assert_df_equal(got, want, sort_cols=["doc_id"])
+    # the driver corpus has 500 distinct single-line texts — the op must
+    # be an exact no-op there (the PII-scrub precedent: fixture proves
+    # the pass-through, the planted fixtures prove the firing paths)
+    assert got.filter("n_kept < n_lines").count() == 0
+
+
+def test_line_dedup_planted_values(spark, line_parquet):
+    from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
+        doc_line_dedup,
+    )
+
+    rows = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_kept"], r["dup_line_frac"], r["drop_doc"],
+            r["text_clean"],
+        )
+        for r in doc_line_dedup(spark.read.parquet(line_parquet)).collect()
+    }
+    assert rows == {
+        0: (3, 3, 0.0, False, "alpha\nbeta\ngamma"),
+        1: (4, 2, 0.5, True, "xray\n"),
+        2: (2, 0, 1.0, True, ""),
+        3: (1, 1, 0.0, False, "unique only"),
+        5: (3, 3, 0.0, False, "  \nzulu\n"),
+        6: (1, 0, 1.0, True, ""),
+    }
+
+
+def test_line_dedup_planted_fixture_matches_oracle(spark, line_parquet):
+    """Blank-exemption, within-doc dups, trailing-newline empties and the
+    (doc_id, pos) first-occurrence order against the window-function
+    DuckDB formulation."""
+    from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
+        DOC_LINE_DEDUP_ORACLE_SQL,
+        doc_line_dedup,
+    )
+
+    got = doc_line_dedup(spark.read.parquet(line_parquet))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{line_parquet}/*.parquet')"
+    )
+    want = con.execute(DOC_LINE_DEDUP_ORACLE_SQL).df()
+    assert_df_equal(got, want, sort_cols=["doc_id"])
+
+
+def test_line_dedup_consistent_with_exact_dedup(spark):
+    """On a corpus with no newlines, whole-document duplicates degenerate
+    to single-line duplicates: every non-canonical exact copy with
+    non-blank text must lose its only line, and every canonical doc must
+    keep everything. The driver fixture has no exact copies, so plant
+    them: re-append 50 docs under higher ids."""
+    from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (
+        doc_exact_dedup,
+        doc_line_dedup,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = base.orderBy("doc_id").limit(50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(copies)
+    joined = (
+        docs.filter(F.col("text").isNotNull())
+        .filter(F.trim("text") != "")
+        .select("doc_id", F.md5("text").alias("text_md5"))
+        .join(doc_exact_dedup(docs), "text_md5")
+        .join(doc_line_dedup(docs), "doc_id")
+    )
+    bad_copy = joined.filter(
+        (F.col("doc_id") != F.col("canonical_doc_id")) & (F.col("n_kept") != 0)
+    )
+    bad_canon = joined.filter(
+        (F.col("doc_id") == F.col("canonical_doc_id"))
+        & (F.col("n_kept") != F.col("n_lines"))
+    )
+    assert bad_copy.count() == 0
+    assert bad_canon.count() == 0
