@@ -1664,3 +1664,218 @@ SELECT l.doc_id,
        s.mean_neg_logprob
 FROM l LEFT JOIN s ON l.doc_id = s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (data selection toward a target distribution)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_ALPHA = 1.0
+DSIR_K = 100
+
+
+def _dsir_bucket(col):
+    """Hashed-feature bucket of one gram: md5's first 48 bits mod
+    ``DSIR_BUCKETS`` — the same Spark/DuckDB-portable construction as
+    ``_md5_byte``. Int-typed to match the scoring map literal's keys."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long"),
+        F.lit(DSIR_BUCKETS),
+    ).cast("int")
+
+
+def _dsir_grams(toks):
+    """DSIR's hashed n-gram feature set: unigrams + word bigrams (the
+    paper's ``ngrams=2`` default), as one string array per doc."""
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def doc_dsir_select(docs: DataFrame, k: int = DSIR_K) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023): keep the k raw documents whose hashed-n-gram profile
+    best matches a TARGET corpus. Importance weight between two
+    bag-of-hashed-ngrams models, then Gumbel-top-k resampling:
+
+        log w(d) = Σ_grams(d) [ln p_target(bucket) − ln p_raw(bucket)]
+
+    with Laplace-``DSIR_ALPHA`` smoothing over the ``DSIR_BUCKETS``
+    feature buckets; the target seat is this repo's curation-kept set
+    (``doc_curation_kept``), i.e. "select raw docs that look like the
+    docs our quality gate already trusts". Ranking ``log w(d) +
+    Gumbel(u(doc_id))`` samples WITHOUT replacement with probability
+    ∝ softmax(log w) — the Gumbel-max trick, RNG-free and rerun-stable
+    because u derives from md5('dsir:'||doc_id) (its own salt prefix,
+    per the repo's salted-decision rule — never shared with the
+    split/decontamination bytes).
+
+    Scale shape: the FIT is one corpus-wide aggregate producing a
+    B-row (rc, tc) count table with map-side partials, collapsed to
+    driver literals — the same bounded-driver-action budget as the
+    z-order bounds (B=256 here; the paper uses 10k — still literal-
+    sized). SCORING is then map-only: an in-row ``F.aggregate`` over
+    each doc's gram array against the B-entry log-ratio map literal —
+    no explode shuffle, no vocabulary join (contrast
+    ``doc_unigram_logprob``, whose table is vocabulary-sized and must
+    broadcast-join). SELECTION is the constant-key map-side-trimmed
+    ``grouped_topk`` (shuffle carries ≤ k rows per Arrow batch). The
+    corpus is read twice (fit pass, score pass) — inherent to DSIR.
+
+    Float venue: ln() and float sums are libm/summation-order sensitive,
+    so this is a pytest value oracle, not a value-hash driver entry; the
+    RANKING itself is ulp-robust (Gumbel key gaps dwarf 1e-13 sum noise
+    — the ``doc_weighted_sample`` argument)."""
+    import math
+
+    base = docs.filter(F.col("text").isNotNull())
+    # whitespace-only docs can never pass the curation gate (token band
+    # starts at 20) but would 0-divide its ratio columns under ANSI mode
+    # — exclude them from the target FIT only; they stay scorable (0.0)
+    kept = doc_curation_kept(base.filter(F.trim("text") != "")).select(
+        "doc_id", F.lit(True).alias("is_t")
+    )
+    grams = base.select(
+        "doc_id", _dsir_grams(word_tokens(F.col("text"))).alias("grams")
+    )
+    counts = (
+        grams.join(kept, "doc_id", "left")
+        .select(F.explode("grams").alias("g"), "is_t")
+        .select(_dsir_bucket(F.col("g")).alias("bucket"), "is_t")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rc"),
+            F.count(F.when(F.col("is_t"), 1)).cast("long").alias("tc"),
+        )
+    )
+    rows = counts.collect()  # bounded: ≤ DSIR_BUCKETS rows
+    rt = float(sum(r["rc"] for r in rows))
+    tt = float(sum(r["tc"] for r in rows))
+    denom = math.log(tt + DSIR_ALPHA * DSIR_BUCKETS) - math.log(
+        rt + DSIR_ALPHA * DSIR_BUCKETS
+    )
+    lr = {
+        int(r["bucket"]): math.log(r["tc"] + DSIR_ALPHA)
+        - math.log(r["rc"] + DSIR_ALPHA)
+        - denom
+        for r in rows
+    }
+    # a bucket absent from the fit cannot appear at scoring time (same
+    # corpus), but the smoothed OOV value keeps the lookup total anyway
+    oov = -denom
+    lr_map = F.create_map(
+        *[
+            x
+            for b in sorted(lr)
+            for x in (F.lit(b).cast("int"), F.lit(float(lr[b])))
+        ]
+    )
+    score = F.aggregate(
+        F.col("grams"),
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.coalesce(
+            F.element_at(lr_map, _dsir_bucket(g)), F.lit(float(oov))
+        ),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 48))
+    scored = grams.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        score.alias("log_importance"),
+    ).select(
+        "*",
+        (F.col("log_importance") - F.log(-F.log(u))).alias("gumbel_key"),
+        F.lit(0).alias("_all"),
+    )
+    from ..operators.topk import grouped_topk
+
+    return grouped_topk(
+        scored,
+        keys=["_all"],
+        order_col="gumbel_key",
+        k=k,
+        tiebreak="doc_id",
+        ascending=False,
+    ).select("doc_id", "n_grams", "log_importance", "rank")
+
+
+def doc_dsir_oracle_sql(k: int = DSIR_K) -> str:
+    b, a = DSIR_BUCKETS, DSIR_ALPHA
+    return (
+        "WITH kept AS (" + DOC_CURATION_ORACLE_SQL + "), "
+        f"""
+l AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+gr AS (
+    SELECT doc_id,
+           list_concat(
+               toks,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(2, len(toks) + 1),
+                                        i -> toks[i - 1] || ' ' || toks[i])
+                    ELSE CAST([] AS VARCHAR[]) END) AS grams
+    FROM l
+),
+g AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(gram), 1, 12))::UBIGINT % {b} AS INTEGER) AS bucket
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM gr)
+),
+c AS (
+    SELECT bucket,
+           count(*) AS rc,
+           count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM kept)) AS tc
+    FROM g GROUP BY bucket
+),
+tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM c),
+lr AS (
+    SELECT bucket,
+           ln(tc + {a}) - ln(tt + {a} * {b})
+         - ln(rc + {a}) + ln(rt + {a} * {b}) AS lr
+    FROM c CROSS JOIN tot
+),
+s AS (
+    SELECT g.doc_id, sum(lr.lr) AS log_importance
+    FROM g JOIN lr USING (bucket) GROUP BY g.doc_id
+),
+scored AS (
+    SELECT gr.doc_id,
+           CAST(len(gr.grams) AS BIGINT) AS n_grams,
+           coalesce(s.log_importance, 0.0) AS log_importance
+    FROM gr LEFT JOIN s ON gr.doc_id = s.doc_id
+),
+keyed AS (
+    SELECT *,
+           log_importance - ln(-ln(
+               (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+                + 0.5) / 281474976710656.0)) AS gk
+    FROM scored
+),
+ranked AS (
+    SELECT doc_id, n_grams, log_importance,
+           row_number() OVER (ORDER BY gk DESC, doc_id ASC) AS rank
+    FROM keyed
+)
+SELECT doc_id, n_grams, log_importance, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    )
