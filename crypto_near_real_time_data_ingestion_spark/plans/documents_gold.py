@@ -1879,3 +1879,77 @@ SELECT doc_id, n_grams, log_importance, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# text normalization (C4/CCNet-style cleanup battery)
+# ---------------------------------------------------------------------------
+
+# 1:1 character map: curly quotes, en/em dash, ellipsis, NBSP → ASCII
+NORM_FROM = "‘’“”–—… "
+NORM_TO = "''\"\"--. "
+# control characters except \t (x09) and \n (x0a)
+CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def doc_normalize(docs: DataFrame) -> DataFrame:
+    """The corpus-cleanup battery every web-scale text pipeline runs
+    before anything hash-keyed (C4/CCNet preprocessing stage): map
+    typographic Unicode to ASCII (curly quotes, dashes, ellipsis,
+    NBSP — 1:1 ``translate``), strip control characters (keeping
+    ``\\t``/``\\n``), collapse horizontal whitespace runs to one space,
+    drop spaces hugging newlines, cap blank runs at one empty line,
+    and trim — emitting the char counts an audit wants. Determinism
+    matters doubly here: every exact-dedup grain (doc/span/line) keys
+    on md5(text), so normalization must be a pure function of the
+    input or dedup decisions drift between runs/engines.
+
+    Pure Catalyst (``translate`` + chained ``regexp_replace``) —
+    whole-stage codegen, map-only, fused into the scan; the exact
+    shape of ``doc_pii_scrub``, staged so the DuckDB oracle reproduces
+    each intermediate."""
+    t0 = F.col("text")
+    n_ctrl = F.regexp_count(t0, F.lit(CTRL_RE))
+    t = F.translate(t0, NORM_FROM, NORM_TO)
+    t = F.regexp_replace(t, CTRL_RE, "")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    t = F.trim(t)
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_raw"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        t.alias("text_norm"),
+        F.length(t).cast("long").alias("n_chars_norm"),
+        (t != t0).alias("changed"),
+    )
+
+
+DOC_NORMALIZE_ORACLE_SQL = r"""
+WITH s0 AS (
+    SELECT doc_id, text,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(len(regexp_extract_all(text,
+                '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS BIGINT) AS n_ctrl,
+           translate(text,
+                     chr(8216) || chr(8217) || chr(8220) || chr(8221) ||
+                     chr(8211) || chr(8212) || chr(8230) || chr(160),
+                     e'\'\'""--. ') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+s1 AS (SELECT doc_id, n_chars_raw, n_ctrl, text,
+              regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g') AS t
+       FROM s0),
+s2 AS (SELECT doc_id, n_chars_raw, n_ctrl, text,
+              regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_chars_raw, n_ctrl, text,
+              regexp_replace(t, ' ?\n ?', e'\n', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, n_chars_raw, n_ctrl, text,
+              regexp_replace(t, '\n{3,}', e'\n\n', 'g') AS t FROM s3)
+SELECT doc_id, n_chars_raw, n_ctrl,
+       trim(t) AS text_norm,
+       CAST(length(trim(t)) AS BIGINT) AS n_chars_norm,
+       (trim(t) <> text) AS changed
+FROM s4
+"""
