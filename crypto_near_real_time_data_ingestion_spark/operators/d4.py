@@ -64,13 +64,21 @@ def emb_d4_select(
     kept_ids = emb_semdedup(
         emb, threshold=threshold, n_cells=n_cells, sub_blocks=sub_blocks
     ).filter("keep").select("vec_id")
-    kept = emb.join(kept_ids, "vec_id").select("vec_id", "embedding")
+    # the kept set feeds kmeans_iter+2 scans (init + n_iter fit passes +
+    # assignment) — cut the semdedup tail out of every one of them
+    # (localCheckpoint, ContextCleaner-released — the semdedup precedent)
+    kept = (
+        emb.join(kept_ids, "vec_id")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
     # re-fit on the FULL deduplicated set (distributed Lloyd's), unit-
     # normalized centroids for the cosine assignment
-    k = proto_cells or n_cells
+    k = n_cells if proto_cells is None else proto_cells
     cents = kmeans_fit(kept, k, n_iter=kmeans_iter, normalize=True)
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    assign = _assign_cells(kept, cents)  # (vec_id, cell, ccos round6)
+    # consumed twice (sizes agg + rank) — one map-only pass, materialized
+    assign = _assign_cells(kept, cents).localCheckpoint(eager=True)
     sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
     m = sizes.select(
         "cell", F.floor(F.lit(float(proto_frac)) * F.col("n")).alias("m")

@@ -87,6 +87,8 @@ def kmeans_fit(
     array. Same semantics as ``ann._kmeans_fit`` run on the whole
     (optionally L2-normalized) matrix: init = k lowest-vec_id rows,
     ``n_iter`` assignment/update rounds, empty clusters frozen."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
     init_rows = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     )

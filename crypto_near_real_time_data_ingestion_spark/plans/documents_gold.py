@@ -1566,7 +1566,7 @@ def doc_line_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-DOC_LINE_DEDUP_ORACLE_SQL = """
+DOC_LINE_DEDUP_ORACLE_SQL = f"""
 WITH d AS (
     SELECT doc_id, string_split(text, chr(10)) AS lines
     FROM documents WHERE text IS NOT NULL
@@ -1596,7 +1596,7 @@ SELECT d.doc_id,
        CAST(len(d.lines) AS BIGINT) AS n_lines,
        k.n_kept,
        CAST(len(d.lines) - k.n_kept AS DOUBLE) / len(d.lines) AS dup_line_frac,
-       (CAST(len(d.lines) - k.n_kept AS DOUBLE) / len(d.lines)) > 0.3 AS drop_doc,
+       (CAST(len(d.lines) - k.n_kept AS DOUBLE) / len(d.lines)) > {LINE_DEDUP_MAX_DUP_FRAC} AS drop_doc,
        k.text_clean
 FROM d JOIN kept k USING (doc_id)
 """
@@ -1888,8 +1888,9 @@ FROM ranked WHERE rank <= {k}
 # 1:1 character map: curly quotes, en/em dash, ellipsis, NBSP → ASCII
 NORM_FROM = "‘’“”–—… "
 NORM_TO = "''\"\"--. "
-# control characters except \t (x09) and \n (x0a)
-CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+# control characters except \t (x09) and \n (x0a) — \r IS stripped,
+# so CRLF corpora normalize to the same md5 dedup keys as LF ones
+CTRL_RE = r"[\x00-\x08\x0b-\x1f\x7f]"
 
 
 def doc_normalize(docs: DataFrame) -> DataFrame:
@@ -1931,7 +1932,7 @@ WITH s0 AS (
     SELECT doc_id, text,
            CAST(length(text) AS BIGINT) AS n_chars_raw,
            CAST(len(regexp_extract_all(text,
-                '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS BIGINT) AS n_ctrl,
+                '[\x00-\x08\x0b-\x1f\x7f]')) AS BIGINT) AS n_ctrl,
            translate(text,
                      chr(8216) || chr(8217) || chr(8220) || chr(8221) ||
                      chr(8211) || chr(8212) || chr(8230) || chr(160),
@@ -1939,7 +1940,7 @@ WITH s0 AS (
     FROM documents WHERE text IS NOT NULL
 ),
 s1 AS (SELECT doc_id, n_chars_raw, n_ctrl, text,
-              regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g') AS t
+              regexp_replace(t, '[\x00-\x08\x0b-\x1f\x7f]', '', 'g') AS t
        FROM s0),
 s2 AS (SELECT doc_id, n_chars_raw, n_ctrl, text,
               regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s1),

@@ -6,10 +6,6 @@ integer column must still match exactly)."""
 
 from __future__ import annotations
 
-import duckdb
-import pytest
-from pyspark.sql import functions as F
-
 from conftest import SF_DIR, assert_df_equal, duck_sql
 
 from crypto_near_real_time_data_ingestion_spark.plans.documents_gold import (

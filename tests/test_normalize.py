@@ -25,6 +25,7 @@ PLANTED = [
     (5, "already clean"),
     (6, "nbsp\u00a0here"),
     (7, None),
+    (8, "crlf\r\nline\r\n\r\n\r\nend\r"),
 ]
 
 
@@ -66,6 +67,9 @@ def test_normalize_planted_values(spark, planted_parquet):
     assert rows[5] == ("already clean", 0, False)
     assert rows[6] == ("nbsp here", 0, True)  # NBSP → space: same length
     assert 7 not in rows
+    # \r is a stripped control char: CRLF corpora normalize to the same
+    # md5 dedup keys as LF ones, and the blank-run cap sees the \n runs
+    assert rows[8] == ("crlf\nline\n\nend", 5, True)
 
 
 def test_normalize_idempotent(spark, planted_parquet):
