@@ -1954,3 +1954,70 @@ SELECT doc_id, n_chars_raw, n_ctrl,
        (trim(t) <> text) AS changed
 FROM s4
 """
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+def doc_char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (nats)
+    — the classic gibberish/boilerplate detector of web-scale quality
+    filters: keyboard-mash and binary-ish junk score anomalously HIGH,
+    single-character padding and repeated boilerplate anomalously LOW,
+    prose sits in a narrow band (filterable by percentile, e.g. via the
+    GK sketch).
+
+    Entirely IN-ROW Catalyst: a doc's characters never leave its row —
+    distinct chars via ``array_distinct``, per-char counts via
+    ``transform``+``filter``, the −Σ p·ln p fold via ``aggregate``. No
+    shuffle, no Python, map-only. Per-doc cost is O(distinct × len);
+    documents are bounded-length (100 TB means more docs, not longer
+    ones), so the constant is fine — the ``doc_repetition_stats``
+    sort+run-length fold is the fallback shape if a corpus had
+    megabyte rows. Float venue: ln() ⇒ pytest tolerance oracle, like
+    every entropy/logprob score here; the integer columns are exact."""
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    n = F.size(chars)
+    dist = F.array_distinct(chars)
+    counts = F.transform(
+        dist, lambda c: F.size(F.filter(chars, lambda x: x == c))
+    )
+    p_logp = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc
+        + (cnt.cast("double") / n) * F.log(cnt.cast("double") / n),
+    )
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.size(dist).cast("long").alias("n_distinct_chars"),
+        F.when(n > 0, -p_logp).otherwise(F.lit(0.0)).alias("char_entropy"),
+    )
+
+
+DOC_CHAR_ENTROPY_ORACLE_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+c AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM d
+),
+per_char AS (
+    SELECT doc_id, ch, count(*) AS cnt FROM c WHERE ch <> '' GROUP BY doc_id, ch
+),
+tot AS (SELECT doc_id, sum(cnt) AS n FROM per_char GROUP BY doc_id),
+ent AS (
+    SELECT p.doc_id,
+           CAST(t.n AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           -sum((CAST(cnt AS DOUBLE) / t.n) * ln(CAST(cnt AS DOUBLE) / t.n))
+               AS char_entropy
+    FROM per_char p JOIN tot t USING (doc_id) GROUP BY p.doc_id, t.n
+)
+SELECT d.doc_id,
+       coalesce(e.n_chars, 0) AS n_chars,
+       coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
+       coalesce(e.char_entropy, 0.0) AS char_entropy
+FROM d LEFT JOIN ent e ON d.doc_id = e.doc_id
+"""
