@@ -478,3 +478,26 @@ class AdditiveSummarySink(ParquetMergeSink):
             .select("token", "count")
             .crossJoin(F.broadcast(bound))
         )
+
+
+class CountMinSink(ParquetMergeSink):
+    """Count-Min sketch sink: per-batch deltas are CMS cell frames
+    (``operators/countmin.cms_build`` over each micro-batch) and the
+    read view sums cells POINTWISE — the sketch of everything ingested
+    (pointwise addition of CMS matrices is the CMS of the union,
+    Agarwal et al., PODS 2012). Additive ⇒ not replay-idempotent, so
+    the batch-id commit log is load-bearing exactly as for the
+    Misra-Gries ``AdditiveSummarySink``; unlike it, per-delta state is
+    a HARD bound (≤ depth·width cells regardless of batch size or
+    vocabulary), which is what you keep per shard at 10^13 tokens."""
+
+    def __init__(self, table_dir: str):
+        super().__init__(table_dir, keys=["row", "col"], event_time_col=None)
+
+    def _compact_frame(self, df: DataFrame) -> DataFrame:
+        """Additive fold = pointwise cell sum; associative, so snapshot
+        compaction + newer deltas on top stays exact."""
+        return df.groupBy("row", "col").agg(F.sum("count").alias("count"))
+
+    def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        return self._compact_frame(spark.read.parquet(*paths))
