@@ -27,7 +27,7 @@ Hashing: the 64-bit item hash is Spark's own ``xxhash64`` (computed
 Catalyst-side, so the JVM does the string hashing and a numpy reference
 can reproduce the sketch from the same hashes); row i's bucket is the
 multiply-shift ``(a_i * h) >> (64 − log2(width))`` with a_i an odd
-64-bit constant derived from md5(seed:i) — deterministic across
+64-bit constant derived from md5("cms:{seed}:{i}") — deterministic across
 platforms, vectorized as wrapping uint64 numpy arithmetic (kept OUT of
 Catalyst on purpose: Spark 4's ANSI mode makes 64-bit multiply overflow
 throw, numpy uint64 wraps, which IS the hash).
@@ -37,7 +37,7 @@ exact merge):
 
   phase 1  one map-only pass: Catalyst computes xxhash64(item);
            mapInPandas folds each partition's hashes into a local
-           depth×width uint64 matrix via vectorized ``np.add.at``,
+           depth×width counter matrix via vectorized ``np.bincount``,
            emitting only the NONZERO cells (≤ depth·width rows per
            partition, e.g. 4×1024 → ≤4096, independent of rows read);
   phase 2  groupBy(row, col).sum — kilobytes into the shuffle at any
@@ -94,9 +94,10 @@ _COORD_SCHEMA = T.StructType(
 
 
 def cms_hash_params(depth: int, seed: int = 0) -> np.ndarray:
-    """The depth odd multipliers a_i, derived from md5(f"{seed}:{i}") —
-    platform-independent, reproducible by the numpy reference. Own salt
-    domain per the salted-decision rule (single-purpose: row hashing)."""
+    """The depth odd multipliers a_i, derived from md5(f"cms:{seed}:{i}")
+    — platform-independent, reproducible by the numpy reference. The
+    "cms:" prefix is the load-bearing salt per the salted-decision rule
+    (single-purpose domain: CMS row hashing)."""
     out = np.empty(depth, dtype=np.uint64)
     for i in range(depth):
         digest = hashlib.md5(f"cms:{seed}:{i}".encode()).digest()
@@ -105,10 +106,11 @@ def cms_hash_params(depth: int, seed: int = 0) -> np.ndarray:
 
 
 def _check_width(width: int) -> int:
-    """Multiply-shift needs a power-of-two width; returns log2(width)."""
+    """Multiply-shift needs a power-of-two width ≥ 2 (width 1 would make
+    the shift 64, undefined for a 64-bit integer); returns 64 − log2."""
     shift = width.bit_length() - 1
-    if width <= 0 or (1 << shift) != width:
-        raise ValueError(f"width must be a power of two, got {width}")
+    if width < 2 or (1 << shift) != width:
+        raise ValueError(f"width must be a power of two >= 2, got {width}")
     return 64 - shift
 
 
@@ -132,7 +134,7 @@ def _cms_partial(depth: int, width: int, seed: int):
                 continue
             cols = cms_cols(h, mults, width)
             for i in range(depth):
-                np.add.at(mat[i], cols[i].astype(np.intp), 1)
+                mat[i] += np.bincount(cols[i].astype(np.intp), minlength=width)
         rows, cols = np.nonzero(mat)
         yield pd.DataFrame(
             {
@@ -240,17 +242,31 @@ def cms_estimates(
     underestimate, overestimate bounded as in the module docstring.
 
     Distributed shape: items hash map-only into depth (row, col)
-    coordinates; the sketch (≤ depth·width rows by construction) is
+    coordinates (duplicate items fold at the final min, so no distinct
+    pre-shuffle); the sketch (≤ depth·width rows by construction) is
     BROADCAST to the left join, so no item-keyed shuffle happens until
-    the final groupBy(item) min — shuffle ∝ depth·|items|."""
+    the final groupBy(item) min — shuffle ∝ depth·|items|.
+
+    Parameter binding: the query's (width, depth, seed) MUST be the
+    build's — the structural half (a cell outside [0,depth)×[0,width))
+    fails loudly here; a seed mismatch is structurally invisible, so
+    bind it through ``CountMinSink``'s persisted params or your own
+    config, never by convention."""
     _check_width(width)
-    hashed = (
-        items.filter(F.col(item_col).isNotNull())
-        .select(
-            F.col(item_col).cast("string").alias("item"),
-            F.xxhash64(F.col(item_col).cast("string")).alias("h64"),
+    bounds = sketch.agg(
+        F.max("row").alias("mr"), F.max("col").alias("mc")
+    ).collect()[0]  # sketch is ≤ depth·width rows — a bounded driver action
+    if bounds["mr"] is not None and (
+        bounds["mr"] >= depth or bounds["mc"] >= width
+    ):
+        raise ValueError(
+            f"sketch has cells up to (row={bounds['mr']}, col={bounds['mc']}) "
+            f"— inconsistent with depth={depth}, width={width}; the "
+            "never-underestimate guarantee would silently break"
         )
-        .distinct()
+    hashed = items.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("item"),
+        F.xxhash64(F.col(item_col).cast("string")).alias("h64"),
     )
     coords = hashed.mapInPandas(_coord_map(depth, width, seed), _COORD_SCHEMA)
     joined = coords.join(F.broadcast(sketch), ["row", "col"], "left")
@@ -269,5 +285,43 @@ def cms_reference(
     mat = np.zeros((depth, width), dtype=np.int64)
     cols = cms_cols(h64, mults, width)
     for i in range(depth):
-        np.add.at(mat[i], cols[i].astype(np.intp), 1)
+        # bincount, not np.add.at — same fold as _cms_partial (the
+        # change-one-re-pin-the-other rule)
+        mat[i] += np.bincount(cols[i].astype(np.intp), minlength=width)
     return mat
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join size estimation from two same-parameter sketches —
+    the second classic CMS application (Cormode-Muthukrishnan §4.2):
+    |A ⋈ B| on a key = Σ_x f_A(x)·f_B(x) = the true inner product,
+    estimated as min_i Σ_j A[i,j]·B[i,j]. Never an underestimate
+    (cross terms only ever add); row-wise expected overcount
+    ≤ 2·N_A·N_B/width, so min over depth rows concentrates like the
+    point query. This is what a planner consults before choosing a
+    join strategy when both sides are too large to count exactly —
+    the sketches are depth·width cells however large the tables are.
+
+    Shape: one hash join on (row, col) between two ≤ depth·width-cell
+    frames (both broadcastable by construction), one groupBy(row) sum,
+    one 1-row min. Output: a single row (est long)."""
+    prod = a.alias("a").join(
+        F.broadcast(b.alias("b")), ["row", "col"]
+    ).select(
+        "row", (F.col("a.count") * F.col("b.count")).alias("p")
+    )
+    per_row = prod.groupBy("row").agg(F.sum("p").alias("ip"))
+    # a depth row with NO colliding cells has true inner product 0 —
+    # min(coalesce) over the d rows must see it, so left-join against
+    # the row ids present in `a` (every build populates all d rows
+    # unless the corpus side is empty, when the join is empty and the
+    # estimate correctly folds to 0)
+    rows_a = a.select("row").distinct()
+    return (
+        rows_a.join(per_row, "row", "left")
+        .agg(
+            F.coalesce(F.min(F.coalesce(F.col("ip"), F.lit(0))), F.lit(0)).alias(
+                "est"
+            )
+        )
+    )

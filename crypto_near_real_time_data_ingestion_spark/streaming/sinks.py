@@ -489,10 +489,56 @@ class CountMinSink(ParquetMergeSink):
     the batch-id commit log is load-bearing exactly as for the
     Misra-Gries ``AdditiveSummarySink``; unlike it, per-delta state is
     a HARD bound (≤ depth·width cells regardless of batch size or
-    vocabulary), which is what you keep per shard at 10^13 tokens."""
+    vocabulary), which is what you keep per shard at 10^13 tokens.
 
-    def __init__(self, table_dir: str):
+    The sink PERSISTS its (width, depth, seed) in a sidecar and refuses
+    to reopen with different ones (the ``_sink_wiring.json`` guard
+    pattern): sketches only merge/query correctly under the parameters
+    they were built with, and a seed mismatch is structurally invisible
+    — mixing deltas from two configs would silently break the
+    never-underestimate guarantee. Query through ``estimates()`` to get
+    the recorded binding for free."""
+
+    def __init__(
+        self, table_dir: str, width: int = 1024, depth: int = 4, seed: int = 0
+    ):
+        from ..operators.countmin import _check_width
+
+        _check_width(width)
         super().__init__(table_dir, keys=["row", "col"], event_time_col=None)
+        params = {"width": width, "depth": depth, "seed": seed}
+        path = os.path.join(table_dir, "_cms_params.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+            if existing != params:
+                raise ValueError(
+                    f"CountMinSink at {table_dir} was created with "
+                    f"{existing}; refusing to reopen with {params} — "
+                    "deltas from different CMS parameters must never mix"
+                )
+        else:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(params, f)
+            os.rename(tmp, path)
+        self.width, self.depth, self.seed = width, depth, seed
+
+    def estimates(
+        self, spark: SparkSession, items: DataFrame, item_col: str
+    ) -> DataFrame:
+        """Point-frequency estimates through the merged view, bound to
+        the sink's persisted parameters."""
+        from ..operators.countmin import cms_estimates
+
+        return cms_estimates(
+            self.read(spark),
+            items,
+            item_col,
+            width=self.width,
+            depth=self.depth,
+            seed=self.seed,
+        )
 
     def _compact_frame(self, df: DataFrame) -> DataFrame:
         """Additive fold = pointwise cell sum; associative, so snapshot

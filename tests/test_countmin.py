@@ -34,11 +34,11 @@ def _sketch_dict(sketch_df) -> dict[tuple[int, int], int]:
 def test_cms_matches_numpy_reference_bit_exact(spark):
     """The distributed build equals a single-machine numpy build from the
     same xxhash64 values, cell for cell (partials are pure addition)."""
+    from crypto_near_real_time_data_ingestion_spark.functions.text import word_tokens
+
     docs = dg.read_documents(spark, SF_DIR).repartition(16)
-    toks = docs.select(
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[A-Za-z0-9]+"), 0)
-        ).alias("token")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(word_tokens(F.col("text"))).alias("token")
     )
     h64 = np.array(
         [r["h"] for r in toks.select(F.xxhash64("token").alias("h")).collect()],
@@ -146,7 +146,23 @@ def test_cms_width_validation():
         _check_width(1000)
     with pytest.raises(ValueError):
         _check_width(0)
+    with pytest.raises(ValueError):
+        _check_width(1)  # shift 64 is UB on 64-bit ints
     assert _check_width(1024) == 54
+
+
+def test_cms_estimates_param_mismatch_fails_loudly(spark):
+    """Querying a sketch with a smaller width/depth than it was built
+    with must raise, not silently underestimate (the structural half of
+    the parameter binding; a seed mismatch is invisible and is bound via
+    CountMinSink's persisted params instead)."""
+    import pytest
+
+    docs = spark.createDataFrame(pd.DataFrame({"text": ["alpha beta"] * 50}))
+    sketch = token_cms(docs, width=W, depth=D)
+    items = spark.createDataFrame(pd.DataFrame({"token": ["alpha"]}))
+    with pytest.raises(ValueError, match="never-underestimate"):
+        cms_estimates(sketch, items, "token", width=W // 4, depth=D).collect()
 
 
 def test_countmin_sink_merge_replay_and_compaction(spark, tmp_path):
@@ -159,7 +175,9 @@ def test_countmin_sink_merge_replay_and_compaction(spark, tmp_path):
         CountMinSink,
     )
 
-    sink = CountMinSink(str(tmp_path / "cms"))
+    import pytest
+
+    sink = CountMinSink(str(tmp_path / "cms"), width=W, depth=D)
     docs1 = spark.createDataFrame([("a b a",), ("b c",)], ["text"])
     docs2 = spark.createDataFrame([("a c",)], ["text"])
     sink.process_batch(token_cms(docs1, width=W, depth=D), 0)
@@ -174,12 +192,18 @@ def test_countmin_sink_merge_replay_and_compaction(spark, tmp_path):
 
     items = spark.createDataFrame(pd.DataFrame({"token": ["a", "b", "c", "d"]}))
     est = (
-        cms_estimates(sink.read(spark), items, "token", width=W, depth=D)
+        sink.estimates(spark, items, "token")
         .toPandas()
         .set_index("item")["est"]
         .to_dict()
     )
     assert est == {"a": 3, "b": 2, "c": 2, "d": 0}
+
+    # params are persisted: reopening with the SAME config works,
+    # a different config is refused (deltas must never mix)
+    CountMinSink(str(tmp_path / "cms"), width=W, depth=D)
+    with pytest.raises(ValueError, match="refusing to reopen"):
+        CountMinSink(str(tmp_path / "cms"), width=W, depth=D, seed=1)
 
     # compaction folds the deltas into one snapshot; read view unchanged,
     # replay of a compacted-away id still a no-op
@@ -187,3 +211,43 @@ def test_countmin_sink_merge_replay_and_compaction(spark, tmp_path):
     assert res["compacted_deltas"] == 2
     sink.process_batch(token_cms(docs1, width=W, depth=D), 0)
     assert _sketch_dict(sink.read(spark)) == _sketch_dict(whole)
+
+
+def test_cms_inner_product_join_size(spark):
+    """Join-size estimation: the sketch inner product never
+    underestimates the true equi-join cardinality, degrades to exact at
+    wide width, and folds to 0 against a disjoint or empty side."""
+    from crypto_near_real_time_data_ingestion_spark.operators.countmin import (
+        cms_inner_product,
+    )
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 3 + ["b"] * 2 + ["x"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 4 + ["b"] * 1 + ["y"] * 5})
+    )
+    # true |left JOIN right ON k| = 3*4 + 2*1 = 14
+    wide = 1 << 12
+    a = cms_build(left, "k", width=wide, depth=D)
+    b = cms_build(right, "k", width=wide, depth=D)
+    assert cms_inner_product(a, b).collect()[0]["est"] == 14
+
+    # narrow width: collisions only ever ADD cross terms
+    a4 = cms_build(left, "k", width=4, depth=D)
+    b4 = cms_build(right, "k", width=4, depth=D)
+    assert cms_inner_product(a4, b4).collect()[0]["est"] >= 14
+
+    # disjoint keys at wide width: (deterministically) no shared cells
+    disjoint = cms_build(
+        spark.createDataFrame(pd.DataFrame({"k": ["z1", "z2"]})),
+        "k",
+        width=wide,
+        depth=D,
+    )
+    assert cms_inner_product(a, disjoint).collect()[0]["est"] == 0
+
+    # empty side folds to 0, not null
+    empty = cms_build(left.filter(F.lit(False)), "k", width=wide, depth=D)
+    assert cms_inner_product(a, empty).collect()[0]["est"] == 0
+    assert cms_inner_product(empty, a).collect()[0]["est"] == 0
