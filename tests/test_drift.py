@@ -1,0 +1,156 @@
+"""Corpus drift (JS divergence + total variation): DuckDB tolerance
+oracle on the driver corpus (float/ln venue — the doc_unigram_logprob /
+BM25 rule), planted closed-form fixtures, orientation, and symmetry."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from conftest import SF_DIR, duck_sql
+from crypto_near_real_time_data_ingestion_spark.operators.drift import (
+    DRIFT_ORACLE_SQL_TEMPLATE,
+    corpus_drift,
+)
+from crypto_near_real_time_data_ingestion_spark.plans import documents_gold as dg
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(pd.DataFrame({"text": pd.Series(texts, dtype="object")}))
+
+
+def test_drift_matches_duckdb_oracle(spark):
+    """Split the driver corpus by doc_id parity and compare both
+    divergences against DuckDB computing the identical formula."""
+    docs = dg.read_documents(spark, SF_DIR)
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    got = corpus_drift(a, b).collect()[0]
+    want = duck_sql(
+        DRIFT_ORACLE_SQL_TEMPLATE.format(
+            a="SELECT text FROM documents WHERE doc_id % 2 = 0",
+            b="SELECT text FROM documents WHERE doc_id % 2 = 1",
+        )
+    ).iloc[0]
+    assert got["js_divergence"] == pytest.approx(want["js_divergence"], rel=1e-9)
+    assert got["total_variation"] == pytest.approx(
+        want["total_variation"], rel=1e-9
+    )
+    # a real split of a real corpus drifts some but not maximally
+    assert 0 < got["js_divergence"] < math.log(2)
+    assert 0 < got["total_variation"] < 1
+
+
+def test_drift_identical_corpora_is_zero(spark):
+    docs = dg.read_documents(spark, SF_DIR).limit(100)
+    row = corpus_drift(docs, docs).collect()[0]
+    assert row["js_divergence"] == pytest.approx(0.0, abs=1e-12)
+    assert row["total_variation"] == pytest.approx(0.0, abs=1e-12)
+    assert row["n_tokens_a"] == row["n_tokens_b"]
+    assert row["vocab_a"] == row["vocab_b"] == row["vocab_shared"]
+
+
+def test_drift_disjoint_vocabulary_attains_bounds(spark):
+    """Disjoint vocabularies: JS = ln 2 exactly, TV = 1 exactly —
+    the closed-form maxima."""
+    a = _docs(spark, ["aa bb aa", "cc"])
+    b = _docs(spark, ["xx yy", "zz zz zz"])
+    row = corpus_drift(a, b).collect()[0]
+    assert row["js_divergence"] == pytest.approx(math.log(2), rel=1e-12)
+    assert row["total_variation"] == pytest.approx(1.0, rel=1e-12)
+    assert row["vocab_shared"] == 0
+
+
+def test_drift_planted_closed_form(spark):
+    """Hand-computed: A = {a:1/2, b:1/2}, B = {a:1/4, b:3/4}."""
+    a = _docs(spark, ["a b a b"])
+    b = _docs(spark, ["a b b b"])
+    row = corpus_drift(a, b).collect()[0]
+    p, q = [0.5, 0.5], [0.25, 0.75]
+    js = 0.0
+    for pi, qi in zip(p, q):
+        m = (pi + qi) / 2
+        js += 0.5 * (pi * math.log(pi / m) + qi * math.log(qi / m))
+    tv = 0.5 * sum(abs(pi - qi) for pi, qi in zip(p, q))
+    assert row["js_divergence"] == pytest.approx(js, rel=1e-12)
+    assert row["total_variation"] == pytest.approx(tv, rel=1e-12)
+
+
+def test_drift_orientation_and_symmetry(spark):
+    """A bigger perturbation drifts further, and both divergences are
+    symmetric in their arguments."""
+    base = _docs(spark, ["a b c d e f g h"] * 10)
+    small = _docs(spark, ["a b c d e f g h"] * 9 + ["a b c d e f g x"])
+    large = _docs(spark, ["a b c d x y z w"] * 10)
+    js_small = corpus_drift(base, small).collect()[0]["js_divergence"]
+    js_large = corpus_drift(base, large).collect()[0]["js_divergence"]
+    assert 0 < js_small < js_large
+    fwd = corpus_drift(base, large).collect()[0]
+    rev = corpus_drift(large, base).collect()[0]
+    assert fwd["js_divergence"] == pytest.approx(rev["js_divergence"], rel=1e-12)
+    assert fwd["total_variation"] == pytest.approx(
+        rev["total_variation"], rel=1e-12
+    )
+
+
+def test_drift_empty_side_is_null_not_zero(spark):
+    """'Nothing to compare' must not alias 'no drift': an empty side
+    yields NULL divergences; two empty sides yield an empty frame."""
+    a = _docs(spark, ["a b"])
+    empty = _docs(spark, [None])
+    row = corpus_drift(a, empty).collect()[0]
+    assert row["js_divergence"] is None
+    assert row["total_variation"] is None
+    assert row["n_tokens_a"] == 2 and row["n_tokens_b"] == 0
+    assert corpus_drift(empty, empty).count() == 0
+
+
+def test_sketch_drift_is_certified_floor(spark):
+    """Data-processing inequality: the sketch-bucket divergences never
+    exceed the true ones at ANY width, and reach them exactly once the
+    width is collision-free (deterministically, at this seed)."""
+    from crypto_near_real_time_data_ingestion_spark.operators.countmin import (
+        token_cms,
+    )
+    from crypto_near_real_time_data_ingestion_spark.operators.drift import (
+        sketch_drift,
+    )
+
+    docs = dg.read_documents(spark, SF_DIR)
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    true_row = corpus_drift(a, b).collect()[0]
+    for width in (8, 64, 1 << 16):
+        row = sketch_drift(
+            token_cms(a, width=width), token_cms(b, width=width)
+        ).collect()[0]
+        assert row["js_floor"] <= true_row["js_divergence"] + 1e-12, width
+        assert row["tv_floor"] <= true_row["total_variation"] + 1e-12, width
+        assert row["js_floor"] >= 0 and row["tv_floor"] >= 0
+    wide = sketch_drift(
+        token_cms(a, width=1 << 16), token_cms(b, width=1 << 16)
+    ).collect()[0]
+    assert wide["js_floor"] == pytest.approx(true_row["js_divergence"], rel=1e-9)
+    assert wide["tv_floor"] == pytest.approx(
+        true_row["total_variation"], rel=1e-9
+    )
+
+
+def test_sketch_drift_identical_and_empty(spark):
+    from crypto_near_real_time_data_ingestion_spark.operators.countmin import (
+        token_cms,
+    )
+    from crypto_near_real_time_data_ingestion_spark.operators.drift import (
+        sketch_drift,
+    )
+
+    docs = dg.read_documents(spark, SF_DIR).limit(50)
+    s = token_cms(docs)
+    same = sketch_drift(s, s).collect()[0]
+    assert same["js_floor"] == pytest.approx(0.0, abs=1e-12)
+    assert same["tv_floor"] == pytest.approx(0.0, abs=1e-12)
+    empty = token_cms(_docs(spark, [None]))
+    row = sketch_drift(s, empty).collect()[0]
+    assert row["js_floor"] is None and row["tv_floor"] is None
