@@ -206,6 +206,27 @@ def cms_total(sketch: DataFrame) -> DataFrame:
     )
 
 
+def check_sketch_params(sketch: DataFrame, width: int, depth: int) -> None:
+    """Structural half of the parameter binding: a sketch whose cells
+    exceed [0, depth) × [0, width) was built under different parameters
+    — fail loudly instead of silently breaking the never-underestimate
+    (or, for drift, the certified-floor) guarantee. A SEED mismatch is
+    structurally invisible; bind it via ``CountMinSink``'s persisted
+    params or your own config, never by convention."""
+    _check_width(width)
+    bounds = sketch.agg(
+        F.max("row").alias("mr"), F.max("col").alias("mc")
+    ).collect()[0]  # sketch is ≤ depth·width rows — a bounded driver action
+    if bounds["mr"] is not None and (
+        bounds["mr"] >= depth or bounds["mc"] >= width
+    ):
+        raise ValueError(
+            f"sketch has cells up to (row={bounds['mr']}, col={bounds['mc']}) "
+            f"— inconsistent with depth={depth}, width={width}; the "
+            "never-underestimate guarantee would silently break"
+        )
+
+
 def _coord_map(depth: int, width: int, seed: int):
     mults = cms_hash_params(depth, seed)
 
@@ -252,18 +273,7 @@ def cms_estimates(
     fails loudly here; a seed mismatch is structurally invisible, so
     bind it through ``CountMinSink``'s persisted params or your own
     config, never by convention."""
-    _check_width(width)
-    bounds = sketch.agg(
-        F.max("row").alias("mr"), F.max("col").alias("mc")
-    ).collect()[0]  # sketch is ≤ depth·width rows — a bounded driver action
-    if bounds["mr"] is not None and (
-        bounds["mr"] >= depth or bounds["mc"] >= width
-    ):
-        raise ValueError(
-            f"sketch has cells up to (row={bounds['mr']}, col={bounds['mc']}) "
-            f"— inconsistent with depth={depth}, width={width}; the "
-            "never-underestimate guarantee would silently break"
-        )
+    check_sketch_params(sketch, width, depth)
     hashed = items.filter(F.col(item_col).isNotNull()).select(
         F.col(item_col).cast("string").alias("item"),
         F.xxhash64(F.col(item_col).cast("string")).alias("h64"),

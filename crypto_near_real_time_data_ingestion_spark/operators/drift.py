@@ -58,14 +58,13 @@ def _divergence_terms(p, q):
 
 
 def _token_freqs(docs: DataFrame, text_col: str) -> DataFrame:
-    from ..functions.text import word_tokens
+    """THE corpus token-count frame — delegated to
+    ``heavy_hitters.token_counts_exact`` (same explode + groupBy over
+    ``word_tokens``) so the two corpus-wide token-count shapes cannot
+    drift apart (single-definition rule)."""
+    from .heavy_hitters import token_counts_exact
 
-    return (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.explode(word_tokens(F.col(text_col))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    return token_counts_exact(docs, text_col).withColumnRenamed("count", "cnt")
 
 
 def corpus_drift(
@@ -79,8 +78,9 @@ def corpus_drift(
     difference in probability either corpus assigns to any token set.
 
     An EMPTY side has no distribution: both divergences come back NULL
-    (not 0 — "no drift" and "nothing to compare" must not alias); two
-    empty sides produce an empty frame (no tokens joined at all)."""
+    (not 0 — "no drift" and "nothing to compare" must not alias); the
+    result is ALWAYS exactly one row, also when both sides are empty
+    (same shape contract as ``sketch_drift``)."""
     fa = _token_freqs(docs_a, text_col).withColumnRenamed("cnt", "ca")
     fb = _token_freqs(docs_b, text_col).withColumnRenamed("cnt", "cb")
     joined = fa.join(fb, "token", "full_outer").select(
@@ -105,18 +105,22 @@ def corpus_drift(
     p = F.when(F.col("na") > 0, F.col("ca") / F.col("na")).otherwise(F.lit(0.0))
     q = F.when(F.col("nb") > 0, F.col("cb") / F.col("nb")).otherwise(F.lit(0.0))
     js_term, tv_term = _divergence_terms(p, q)
-    out = with_p.groupBy("na", "nb", "vocab_a", "vocab_b", "vocab_shared").agg(
-        F.sum(js_term).alias("js"), F.sum(tv_term).alias("tv")
-    )
-    empty_guard = (F.col("na") > 0) & (F.col("nb") > 0)
+    # two 1-row frames cross-joined ⇒ the result is ALWAYS one row,
+    # including the both-empty case (a groupBy on the empty joined frame
+    # would emit zero rows and break the one-shape-family contract)
+    sums = with_p.agg(F.sum(js_term).alias("js"), F.sum(tv_term).alias("tv"))
+    out = sums.crossJoin(totals)
+    empty_guard = (F.col("na") > 0) & (F.col("nb") > 0)  # NULL-safe: a
+    # NULL total (empty join) makes the guard non-true ⇒ NULL divergence
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0)).alias(c)  # noqa: E731
     return out.select(
         F.when(empty_guard, F.col("js")).alias("js_divergence"),
         F.when(empty_guard, F.col("tv")).alias("total_variation"),
-        F.col("na").alias("n_tokens_a"),
-        F.col("nb").alias("n_tokens_b"),
-        "vocab_a",
-        "vocab_b",
-        "vocab_shared",
+        F.coalesce(F.col("na"), F.lit(0)).alias("n_tokens_a"),
+        F.coalesce(F.col("nb"), F.lit(0)).alias("n_tokens_b"),
+        zero("vocab_a"),
+        zero("vocab_b"),
+        zero("vocab_shared"),
     )
 
 
@@ -147,7 +151,12 @@ GROUP BY t.na, t.nb
 """
 
 
-def sketch_drift(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+def sketch_drift(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
     """Certified drift FLOOR from two same-parameter Count-Min sketches
     (``operators/countmin.py``) — the bounded-memory path when even the
     vocabulary join is too much (10^13 distinct n-grams): each depth
@@ -165,7 +174,18 @@ def sketch_drift(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     returns its one row, so two empty sketches also yield the NULL row).
 
     Shape: one full-outer join of two ≤ depth·width-cell frames and two
-    tiny aggregates — nothing touches the corpora."""
+    tiny aggregates — nothing touches the corpora.
+
+    BOTH sketches must be built under the SAME (width, depth, seed) or
+    the joined cells compare different pushforward maps and the floor
+    certifies drift that does not exist: the structural half is
+    validated here against the passed width/depth (both sides), the
+    seed half is invisible — bind it via ``CountMinSink``'s persisted
+    params or your own config."""
+    from .countmin import check_sketch_params
+
+    check_sketch_params(sketch_a, width, depth)
+    check_sketch_params(sketch_b, width, depth)
     a = sketch_a.select("row", "col", F.col("count").alias("ca"))
     b = sketch_b.select("row", "col", F.col("count").alias("cb"))
     joined = a.join(b, ["row", "col"], "full_outer").select(

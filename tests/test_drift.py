@@ -104,7 +104,12 @@ def test_drift_empty_side_is_null_not_zero(spark):
     assert row["js_divergence"] is None
     assert row["total_variation"] is None
     assert row["n_tokens_a"] == 2 and row["n_tokens_b"] == 0
-    assert corpus_drift(empty, empty).count() == 0
+    # both-empty: still exactly one row (the sketch_drift shape contract),
+    # NULL divergences, zeroed counters
+    rows = corpus_drift(empty, empty).collect()
+    assert len(rows) == 1
+    assert rows[0]["js_divergence"] is None
+    assert rows[0]["n_tokens_a"] == 0 and rows[0]["vocab_shared"] == 0
 
 
 def test_sketch_drift_is_certified_floor(spark):
@@ -124,13 +129,13 @@ def test_sketch_drift_is_certified_floor(spark):
     true_row = corpus_drift(a, b).collect()[0]
     for width in (8, 64, 1 << 16):
         row = sketch_drift(
-            token_cms(a, width=width), token_cms(b, width=width)
+            token_cms(a, width=width), token_cms(b, width=width), width=width
         ).collect()[0]
         assert row["js_floor"] <= true_row["js_divergence"] + 1e-12, width
         assert row["tv_floor"] <= true_row["total_variation"] + 1e-12, width
         assert row["js_floor"] >= 0 and row["tv_floor"] >= 0
     wide = sketch_drift(
-        token_cms(a, width=1 << 16), token_cms(b, width=1 << 16)
+        token_cms(a, width=1 << 16), token_cms(b, width=1 << 16), width=1 << 16
     ).collect()[0]
     assert wide["js_floor"] == pytest.approx(true_row["js_divergence"], rel=1e-9)
     assert wide["tv_floor"] == pytest.approx(
@@ -154,3 +159,20 @@ def test_sketch_drift_identical_and_empty(spark):
     empty = token_cms(_docs(spark, [None]))
     row = sketch_drift(s, empty).collect()[0]
     assert row["js_floor"] is None and row["tv_floor"] is None
+
+
+def test_sketch_drift_param_mismatch_fails_loudly(spark):
+    """Sketches built wider than the declared parameters must raise —
+    comparing cells from different pushforward maps would certify drift
+    that does not exist."""
+    from crypto_near_real_time_data_ingestion_spark.operators.countmin import (
+        token_cms,
+    )
+    from crypto_near_real_time_data_ingestion_spark.operators.drift import (
+        sketch_drift,
+    )
+
+    docs = dg.read_documents(spark, SF_DIR).limit(50)
+    wide = token_cms(docs, width=1024)
+    with pytest.raises(ValueError, match="inconsistent with"):
+        sketch_drift(wide, wide, width=8).collect()
