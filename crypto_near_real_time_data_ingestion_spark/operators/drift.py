@@ -208,3 +208,61 @@ def sketch_drift(
     return per_row.agg(
         F.max("js").alias("js_floor"), F.max("tv").alias("tv_floor")
     )
+
+
+def corpus_drift_by(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group drift — "WHICH source moved?": one row per group value
+    with the same (js_divergence, total_variation, n_tokens_a,
+    n_tokens_b) semantics as ``corpus_drift``, distributions normalized
+    WITHIN each group. A group present on only one side reports NULL
+    divergences with its token counts (nothing to compare against —
+    the caller decides whether appearance/disappearance is drift).
+
+    Scale shape: the joins key on (group, token) — shuffle ∝ per-group
+    vocabularies; per-group totals are a groups-sized frame joined back
+    (not broadcast-forced: group cardinality is the caller's domain)."""
+    from ..functions.text import word_tokens
+
+    def freqs(docs, name):
+        return (
+            docs.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(group_col).alias("grp"),
+                F.explode(word_tokens(F.col(text_col))).alias("token"),
+            )
+            .groupBy("grp", "token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    joined = (
+        freqs(docs_a, "ca")
+        .join(freqs(docs_b, "cb"), ["grp", "token"], "full_outer")
+        .select(
+            "grp",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    totals = joined.groupBy("grp").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    with_p = joined.join(totals, "grp")
+    p = F.when(F.col("na") > 0, F.col("ca") / F.col("na")).otherwise(F.lit(0.0))
+    q = F.when(F.col("nb") > 0, F.col("cb") / F.col("nb")).otherwise(F.lit(0.0))
+    js_term, tv_term = _divergence_terms(p, q)
+    guard = (F.col("na") > 0) & (F.col("nb") > 0)
+    return with_p.groupBy("grp", "na", "nb").agg(
+        F.sum(F.when(guard, js_term)).alias("js_divergence"),
+        F.sum(F.when(guard, tv_term)).alias("total_variation"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "js_divergence",
+        "total_variation",
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+    )

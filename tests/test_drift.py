@@ -176,3 +176,112 @@ def test_sketch_drift_param_mismatch_fails_loudly(spark):
     wide = token_cms(docs, width=1024)
     with pytest.raises(ValueError, match="inconsistent with"):
         sketch_drift(wide, wide, width=8).collect()
+
+
+def test_drift_by_group_vs_duckdb_and_planted(spark):
+    """Grouped drift: one source identical (→ 0), one disjoint (→ ln 2 /
+    TV 1), one present only on side A (→ NULL, counts kept); the real-
+    corpus grouped values match DuckDB computing the same per-group
+    formula."""
+    from crypto_near_real_time_data_ingestion_spark.operators.drift import (
+        corpus_drift_by,
+    )
+
+    a = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source": ["same", "same", "moved", "gone"],
+                "text": ["x y", "z", "aa bb", "only here"],
+            }
+        )
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source": ["same", "same", "moved"],
+                "text": ["x y", "z", "cc dd"],
+            }
+        )
+    )
+    rows = {
+        r["source"]: r for r in corpus_drift_by(a, b, "source").collect()
+    }
+    assert rows["same"]["js_divergence"] == pytest.approx(0.0, abs=1e-12)
+    assert rows["moved"]["js_divergence"] == pytest.approx(
+        math.log(2), rel=1e-12
+    )
+    assert rows["moved"]["total_variation"] == pytest.approx(1.0, rel=1e-12)
+    assert rows["gone"]["js_divergence"] is None
+    assert rows["gone"]["n_tokens_a"] == 2 and rows["gone"]["n_tokens_b"] == 0
+
+    # real corpus, grouped oracle in DuckDB (same formula per source)
+    docs_a = "SELECT source, text FROM documents WHERE doc_id % 2 = 0"
+    docs_b = "SELECT source, text FROM documents WHERE doc_id % 2 = 1"
+    want = duck_sql(f"""
+        WITH ta AS (SELECT source AS grp,
+                 unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+            FROM ({docs_a}) WHERE text IS NOT NULL),
+        tb AS (SELECT source AS grp,
+                 unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+            FROM ({docs_b}) WHERE text IS NOT NULL),
+        fa AS (SELECT grp, token, count(*) AS ca FROM ta GROUP BY 1, 2),
+        fb AS (SELECT grp, token, count(*) AS cb FROM tb GROUP BY 1, 2),
+        j AS (SELECT coalesce(fa.grp, fb.grp) AS grp,
+                     coalesce(fa.ca, 0) AS ca, coalesce(fb.cb, 0) AS cb
+              FROM fa FULL OUTER JOIN fb
+                ON fa.grp = fb.grp AND fa.token = fb.token),
+        t AS (SELECT grp, sum(ca) AS na, sum(cb) AS nb FROM j GROUP BY 1)
+        SELECT j.grp,
+          sum(CASE WHEN ca > 0 THEN (ca / t.na) * ln((ca / t.na) /
+                ((ca / t.na + cb / t.nb) / 2)) ELSE 0 END
+            + CASE WHEN cb > 0 THEN (cb / t.nb) * ln((cb / t.nb) /
+                ((ca / t.na + cb / t.nb) / 2)) ELSE 0 END) / 2 AS js
+        FROM j JOIN t ON j.grp = t.grp
+        GROUP BY j.grp
+    """).set_index("grp")["js"]
+    docs = dg.read_documents(spark, SF_DIR)
+    got = {
+        r["source"]: r["js_divergence"]
+        for r in corpus_drift_by(
+            docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+        ).collect()
+    }
+    assert set(got) == set(want.index)
+    for src, js in got.items():
+        if math.isnan(want[src]):
+            # a source present on only one side of the split: the oracle's
+            # bare formula degenerates to NaN, the operator contractually
+            # reports NULL ("nothing to compare")
+            assert js is None, src
+        else:
+            assert js == pytest.approx(want[src], rel=1e-9), src
+
+
+def test_streaming_drift_monitor_composition(spark, tmp_path):
+    """The streaming story end-to-end: a CountMinSink accumulates
+    per-batch sketch deltas; drift of the accumulated stream vs a static
+    reference sketch is a read-side sketch_drift — and equals the batch
+    sketch_drift over the same data (exactly-once through replay)."""
+    from crypto_near_real_time_data_ingestion_spark.operators.countmin import (
+        token_cms,
+    )
+    from crypto_near_real_time_data_ingestion_spark.operators.drift import (
+        sketch_drift,
+    )
+    from crypto_near_real_time_data_ingestion_spark.streaming.sinks import (
+        CountMinSink,
+    )
+
+    W2 = 64
+    reference = token_cms(_docs(spark, ["a b c d", "a b"]), width=W2)
+    sink = CountMinSink(str(tmp_path / "drift_cms"), width=W2)
+    batches = [["a b", "c"], ["x y z"], ["a"]]
+    for i, texts in enumerate(batches):
+        sink.process_batch(token_cms(_docs(spark, texts), width=W2), i)
+    sink.process_batch(token_cms(_docs(spark, batches[1]), width=W2), 1)  # replay
+    streamed = sketch_drift(sink.read(spark), reference, width=W2).collect()[0]
+    whole = token_cms(_docs(spark, [t for b in batches for t in b]), width=W2)
+    batch_row = sketch_drift(whole, reference, width=W2).collect()[0]
+    assert streamed["js_floor"] == pytest.approx(batch_row["js_floor"], rel=1e-12)
+    assert streamed["tv_floor"] == pytest.approx(batch_row["tv_floor"], rel=1e-12)
+    assert streamed["js_floor"] > 0  # the stream genuinely drifted
