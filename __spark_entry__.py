@@ -43,6 +43,9 @@ from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     multimodal as mm_op,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
+    retrieval as retrieval_op,
+)
+from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     rolling as rolling_op,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
@@ -109,6 +112,10 @@ def _clustered_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF is exact by construction — the config just determines pruning)
 LSH_BITS, LSH_TABLES = 12, 4
 IVF_CELLS, IVF_NPROBE = 64, 1
+# hybrid RRF retrieval: query terms from the synthetic vocab, a corpus
+# vector as the semantic query (deterministic — no external data)
+RRF_TERMS = ["spark", "merge", "window"]
+RRF_QVEC, RRF_TOPK, RRF_POOL = 0, 20, 100
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -136,7 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events form stays oracle-pinned in test_gold_plans), emb_near_dup
     (round 4, for streaming_emb_pairs' slot: the batch GEMM is
     bit-equal-pinned to the graded streaming form in test_streaming_emb
-    and oracle-pinned in test_documents_ops)."""
+    and oracle-pinned in test_documents_ops), emb_cosine_topk (round 4,
+    for doc_hybrid_rrf's slot: the brute-force GEMM is the pytest ground
+    truth of the three graded ANN entries answering its exact oracle —
+    DuckDB-oracled via the expression twin in test_documents_ops)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def _silver(spark, sf_dir):
@@ -154,6 +164,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (test_streaming_emb.py), so it answers the SAME exact all-pairs
     # cosine oracle the retired batch entry answered
     q["streaming_emb_pairs"] = _run_streaming_emb
+    # hybrid retrieval (round 4): reciprocal-rank fusion of the integer
+    # lexical ranking (query-term tf) and the round6-cosine semantic
+    # ranking — candidate generation is per-ranker TakeOrdered, fusion
+    # touches only the two ≤pool-row frames (operators/retrieval.py)
+    q["doc_hybrid_rrf"] = lambda s, d: retrieval_op.hybrid_rrf_topk(
+        dg.read_documents(s, d),
+        dg.read_embeddings(s, d),
+        RRF_TERMS,
+        query_vec_id=RRF_QVEC,
+        k=RRF_TOPK,
+        pool=RRF_POOL,
+    )
     # winnowing fingerprints: custom hash re-derived in DuckDB SQL
     q["doc_winnow_fingerprints"] = lambda s, d: td_op.winnow_fingerprints(
         dg.read_documents(s, d)
@@ -323,14 +345,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dg.read_documents(s, d)
     )
     q["doc_curation"] = lambda s, d: dg.doc_curation_kept(dg.read_documents(s, d))
-    # exact cosine scorer as a distributed block GEMM (no driver collect);
-    # the pair-expression cross-join twins stay as in-repo ground truth.
     # (emb_near_dup retired round 4 for streaming_emb_pairs' slot: the
     # batch GEMM stays bit-equal-pinned to the graded streaming form in
-    # test_streaming_emb.py and oracle-pinned in test_documents_ops.py)
-    q["emb_cosine_topk"] = lambda s, d: ann_op.broadcast_cosine_topk(
-        dg.read_embeddings(s, d)
-    )
+    # test_streaming_emb.py and oracle-pinned in test_documents_ops.py.
+    # emb_cosine_topk retired round 4 for doc_hybrid_rrf's slot: the
+    # brute-force GEMM is the pytest ground truth of the THREE graded
+    # ANN entries answering its exact oracle (lsh/ivf/ivfpq) and stays
+    # oracle-pinned against the expression twin in test_documents_ops
+    # + test_ann_clustered/test_pq — it was also the registry's one
+    # steal-exposed single-tile timing at graded scale.)
 
     return q
 
@@ -733,8 +756,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_clusters": clusters_op.dup_clusters_oracle_sql(threshold=0.5),
         "doc_text_stats": dg.DOC_TEXT_STATS_ORACLE_SQL,
         "doc_ngram_jaccard": dg.DOC_JACCARD_ORACLE_SQL_TEMPLATE.format(threshold=0.5),
-        "emb_cosine_topk": dg.EMB_TOPK_ORACLE_SQL_TEMPLATE.format(
-            k=5, table="embeddings"
+        "doc_hybrid_rrf": retrieval_op.hybrid_rrf_oracle_sql(
+            RRF_TERMS, RRF_QVEC, k=RRF_TOPK, pool=RRF_POOL
         ),
         # the streaming sharded index is bit-equal to the batch GEMM
         # near-dup (pytest-pinned), so the exact all-pairs cosine oracle
