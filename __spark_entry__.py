@@ -36,6 +36,9 @@ from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     heavy_hitters as hh_op,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
+    countmin as cm_op,
+)
+from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     clusters as clusters_op,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import joins as joins_op  # noqa: E402
@@ -146,7 +149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and oracle-pinned in test_documents_ops), emb_cosine_topk (round 4,
     for doc_hybrid_rrf's slot: the brute-force GEMM is the pytest ground
     truth of the three graded ANN entries answering its exact oracle —
-    DuckDB-oracled via the expression twin in test_documents_ops)."""
+    DuckDB-oracled via the expression twin in test_documents_ops),
+    doc_chunks (round 4, for streaming_countmin's slot: the pack oracle
+    re-derives the chunk CTE so chunking stays transitively driver-graded
+    via doc_pack_sequences, and test_doc_chunks keeps its own DuckDB
+    oracle)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def _silver(spark, sf_dir):
@@ -204,10 +211,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # W10 streaming form: per-closed-window dense_rank in foreachBatch
     # (new this round; same oracle recipe as the batch rank)
     q["streaming_rank"] = lambda s, d: _run_streaming(s, d, "gold_hour_rank")
-    # training-context chunking + bucketed sequence packing (chunking
-    # gained the token-less-doc guard this round; packing's default
-    # bucket count now tracks defaultParallelism — graded config pins 8)
-    q["doc_chunks"] = lambda s, d: dg.doc_chunks(dg.read_documents(s, d))
+    # streaming Count-Min maintenance (round 4): graded in the exact
+    # regime like streaming_heavy_hitters — drains the silver fold's
+    # CMS sink and point-queries the merged sketch (see the runner)
+    q["streaming_countmin"] = _run_streaming_countmin
+    # bucketed sequence packing (its oracle re-derives the chunking CTE,
+    # so doc_chunks — retired round 4 for streaming_countmin's slot —
+    # stays transitively driver-graded here and DuckDB-oracled in
+    # test_documents_ops::test_doc_chunks)
     q["doc_pack_sequences"] = lambda s, d: dg.doc_pack_sequences(
         dg.read_documents(s, d), n_buckets=dg.PACK_BUCKETS
     )
@@ -390,9 +401,9 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # all streaming entries share ONE drain of the arrival-ordered stream:
-# a single rate-controlled source feed with the 13 queries running
-# concurrently as 11 checkpointed jobs (silver+heavy_hitters and
-# gold_hour+rank each fold into one query with two exactly-once sinks)
+# a single rate-controlled source feed with the 14 queries running
+# concurrently as 11 checkpointed jobs (silver+heavy_hitters+countmin
+# and gold_hour+rank each fold into one query with per-sink commit logs)
 # — the reference's sequential-DAG analog as one continuous pipeline
 # (and 10× cheaper than per-query drains in the driver's verify/bench
 # loop). Results are
@@ -402,7 +413,7 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_QUERIES = (
     "silver", "gold_hour", "gold_hour_rank", "gold_day", "gold_sliding",
     "sessions", "pairs", "features", "unanswered", "role_runs", "tool_asof",
-    "heavy_hitters", "enriched_hour",
+    "heavy_hitters", "countmin", "enriched_hour",
 )
 _stream_cache: dict[tuple, object] = {}
 
@@ -417,7 +428,7 @@ def _fast_tmp() -> str:
 
 def _flushed_src(sf: float) -> str:
     """Flushed copy of the arrival-ordered stream source, SHARED by the
-    13-query drain and the TWS drain (built once per sf, outside any
+    14-query drain and the TWS drain (built once per sf, outside any
     drain's work dir so neither drain's cleanup removes it)."""
     from crypto_near_real_time_data_ingestion_spark.datagen.flush import (
         build_flushed_source,
@@ -441,7 +452,7 @@ def _sql_view_ohlc_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the transformWithState backend in ITS OWN pipeline (separate
-    work dir/checkpoints from the shared 13-query drain, but REUSING that
+    work dir/checkpoints from the shared 14-query drain, but REUSING that
     drain's flushed source copy) and return the causal feature columns —
     same oracle as streaming_conv_features. maxFilesPerTrigger is sized
     to the source's data-file count so the drain runs the MINIMAL two
@@ -482,6 +493,33 @@ def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_cache[key] = h
     return h.sinks["features_tws"].read(spark).filter(
         F.col("conv_id") != FLUSH_CONV_ID
+    )
+
+
+def _run_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance, graded in the exact regime (the
+    streaming_heavy_hitters pattern): the shared drain's silver fold
+    writes one CMS cell delta per micro-batch into the additive
+    commit-log sink; this entry then point-queries the MERGED sketch
+    for every distinct silver token. At STREAM_EXACT_WIDTH the
+    estimates equal the exact GROUP BY token counts, so the whole
+    sketch path — per-batch build, exactly-once delta log, pointwise
+    merge, broadcast-join query — answers a plain-SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from crypto_near_real_time_data_ingestion_spark.datagen.flush import FLUSH_CONV_ID
+    from crypto_near_real_time_data_ingestion_spark.functions.text import word_tokens
+
+    h = drain_streams(spark, sf_dir)
+    silver = h.sinks["silver"].read(spark).filter(
+        (F.col("conv_id") != FLUSH_CONV_ID) & F.col("text").isNotNull()
+    )
+    tokens = silver.select(
+        F.explode(word_tokens(F.col("text"))).alias("token")
+    ).distinct()
+    est = h.sinks["countmin"].estimates(spark, tokens, "token")
+    return est.select(
+        F.col("item").alias("token"), F.col("est").cast("long").alias("count")
     )
 
 
@@ -558,7 +596,7 @@ def _run_streaming_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def drain_streams(spark: SparkSession, sf_dir: str) -> object:
-    """Run (once per session+sf, cached) the shared 13-query streaming
+    """Run (once per session+sf, cached) the shared 14-query streaming
     drain and return its handles. Exposed so bench.py can time the drain
     as its own line item (``streaming_drain_total``) instead of billing
     the full cost to whichever streaming query happens to run first."""
@@ -742,8 +780,8 @@ def oracle_sql() -> dict[str, str]:
             else {}
         ),
         "doc_exact_dedup": dg.DOC_EXACT_DEDUP_ORACLE_SQL,
-        "doc_chunks": dg.DOC_CHUNKS_ORACLE_SQL_TEMPLATE.format(
-            size=dg.CHUNK_SIZE, stride=dg.CHUNK_STRIDE
+        "streaming_countmin": cm_op.STREAM_CMS_ORACLE_SQL_TEMPLATE.format(
+            path=path
         ),
         "doc_curation": dg.DOC_CURATION_ORACLE_SQL,
         "doc_split_assign": dg.DOC_SPLIT_ORACLE_SQL,

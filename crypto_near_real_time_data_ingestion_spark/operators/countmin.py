@@ -57,7 +57,12 @@ via the left join's coalesce.
 
 Approximate with certified bounds ⇒ verified by pytest contracts
 against the exact ``groupBy`` twin plus a bit-equal numpy reference
-(the HLL/GK/MG rule), never a value-hash driver entry.
+(the HLL/GK/MG rule). The one value-hash driver entry is the same
+EXACT-REGIME form Misra-Gries grades (``streaming_heavy_hitters``):
+at ``STREAM_EXACT_WIDTH`` the graded vocabulary never collides in all
+depth rows, so the estimates EQUAL the exact GROUP BY and the
+streaming sketch-maintenance path (per-batch deltas, additive
+commit-log sink, pointwise merge) is driver-graded end-to-end.
 
 Reference semantics anchored: the reference keeps per-window exact
 aggregates (gold_features_base_job.py's grouped counts) — this is the
@@ -335,3 +340,39 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming exact-regime grading (the MG STREAM_EXACT_K pattern)
+# ---------------------------------------------------------------------------
+
+# Width for the driver-graded streaming sketch: 2^16 cells per row over a
+# vocabulary of a few hundred word tokens — a token is mis-estimated only
+# if it collides in EVERY one of the 4 rows (P ≈ |V|·(|V|/w)^4 ≈ 1e-8 at
+# |V|=500, and deterministic for the fixed seed/corpus: exactness is
+# re-verified by the oracle on every run, not assumed).
+STREAM_EXACT_WIDTH = 1 << 16
+
+# silver CTE matches the other transcript oracles (any-wins dedup); at
+# STREAM_EXACT_WIDTH the merged sketch's point estimates equal the exact
+# GROUP BY, so the oracle is the plain token count (no bound column —
+# the CMS has no certified under-count; its over-count is zero here)
+STREAM_CMS_ORACLE_SQL_TEMPLATE = """
+WITH cleansed AS (
+    SELECT CAST(conv_id AS VARCHAR) AS conv_id,
+           CAST(turn_idx AS INTEGER) AS turn_idx, text
+    FROM read_parquet('{path}')
+    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND turn_idx >= 0
+      AND role IS NOT NULL AND ts IS NOT NULL
+),
+silver AS (
+    SELECT conv_id, turn_idx, min(text) AS text
+    FROM cleansed GROUP BY conv_id, turn_idx
+),
+toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+    FROM silver WHERE text IS NOT NULL
+)
+SELECT token, count(*) AS count
+FROM toks GROUP BY token
+"""

@@ -5,10 +5,10 @@ The reference's Step-Functions DAG of four sequential Glue jobs
 Structured Streaming queries, each checkpointed and resumable (SFN
 retry/backoff → restart-from-checkpoint). Data passes between layers
 through tables, exactly as the reference passes through S3 — but
-incrementally, per micro-batch. Fold exception: when both members of a
-shared-plan pair are requested (silver+heavy_hitters,
-gold_hour+gold_hour_rank), the pair runs as ONE query — one checkpoint,
-two sinks, each sink exactly-once via its own commit log.
+incrementally, per micro-batch. Fold exception: when the members of a
+shared-plan group are requested (silver+heavy_hitters+countmin,
+gold_hour+gold_hour_rank), the group runs as ONE query — one checkpoint,
+N sinks, each sink exactly-once via its own commit log.
 
 Queries:
   silver      raw → cleanse → dropDuplicatesWithinWatermark → MERGE
@@ -27,6 +27,10 @@ Queries:
   heavy_hitters  streaming sketch maintenance: per-batch Misra-Gries
               token summaries → additive sink (pointwise merge; the
               commit log makes the non-idempotent merge exactly-once)
+  countmin    streaming sketch maintenance, point-frequency member:
+              per-batch Count-Min cell deltas over the deduped token
+              stream → CountMinSink (pointwise cell sum; same additive
+              exactly-once contract, hard ≤ depth·width state bound)
   enriched_hour  stream-static broadcast join (role dimension) feeding
               a per-(window, role_group) aggregate → MERGE
   features    silver-stream → per-conv stateful rolling features → MERGE
@@ -221,6 +225,7 @@ def start_pipeline(
     # sink — at verification scale those per-partition per-operator
     # commits dominate the drain (r3 verdict item 6).
     fold_hh = "silver" in queries and "heavy_hitters" in queries
+    fold_cms = "silver" in queries and "countmin" in queries
     fold_rank = "gold_hour" in queries and "gold_hour_rank" in queries
 
     # Batch-id provenance guard: a sink's commit log keys on bare batch
@@ -235,6 +240,8 @@ def start_pipeline(
     wiring = {q: q for q in queries}
     if fold_hh:
         wiring["heavy_hitters"] = "silver"
+    if fold_cms:
+        wiring["countmin"] = "silver"
     if fold_rank:
         wiring["gold_hour_rank"] = "gold_hour"
     wiring_path = os.path.join(work_dir, "_sink_wiring.json")
@@ -285,23 +292,47 @@ def start_pipeline(
             bdf.filter(F.col("conv_id") != FLUSH_CONV_ID), k=STREAM_EXACT_K
         )
 
+    def _cms_transform():
+        from pyspark.sql import functions as F
+
+        from ..datagen.flush import FLUSH_CONV_ID
+        from ..operators.countmin import STREAM_EXACT_WIDTH, token_cms
+
+        # flush/sentinel rows must be excluded at WRITE time, exactly as
+        # for the MG summaries — an additive sink cannot un-count them
+        return lambda bdf: token_cms(
+            bdf.filter(F.col("conv_id") != FLUSH_CONV_ID),
+            text_col="text",
+            width=STREAM_EXACT_WIDTH,
+        )
+
     if "silver" in queries:
         from .sinks import AdditiveSummarySink
 
         sink = ParquetMergeSink(table("silver"), ["conv_id", "turn_idx"], "ts")
         h.sinks["silver"] = sink
-        extra = None
+        extra = []
         if fold_hh:
             hh_sink = AdditiveSummarySink(table("heavy_hitters"))
             h.sinks["heavy_hitters"] = hh_sink
-            extra = [(hh_sink, _mg_transform())]
+            extra.append((hh_sink, _mg_transform()))
+        if fold_cms:
+            from ..operators.countmin import STREAM_EXACT_WIDTH
+            from .sinks import CountMinSink
+
+            cms_sink = CountMinSink(table("countmin"), width=STREAM_EXACT_WIDTH)
+            h.sinks["countmin"] = cms_sink
+            extra.append((cms_sink, _cms_transform()))
         q = _start(
             silver_stream(src(), watermark), sink, "silver", ckpt("silver"),
-            "append", available_now, trigger_interval, extra_sinks=extra,
+            "append", available_now, trigger_interval,
+            extra_sinks=extra or None,
         )
         h.queries["silver"] = q
         if fold_hh:
             h.queries["heavy_hitters"] = q  # same query object (alias)
+        if fold_cms:
+            h.queries["countmin"] = q
 
     if "gold_hour" in queries:
         sink = ParquetMergeSink(table("gold_hour"), ["window_start", "conv_id"], "window_start")
@@ -497,6 +528,20 @@ def start_pipeline(
             silver_stream(src(), watermark),
             sink, "heavy_hitters", ckpt("heavy_hitters"), "append",
             available_now, trigger_interval, transform=_mg_transform(),
+        )
+
+    if "countmin" in queries and not fold_cms:
+        from ..operators.countmin import STREAM_EXACT_WIDTH
+        from .sinks import CountMinSink
+
+        # standalone form of the CMS maintenance query — same transform
+        # (and the same write-time flush exclusion) as the folded one
+        sink = CountMinSink(table("countmin"), width=STREAM_EXACT_WIDTH)
+        h.sinks["countmin"] = sink
+        h.queries["countmin"] = _start(
+            silver_stream(src(), watermark),
+            sink, "countmin", ckpt("countmin"), "append",
+            available_now, trigger_interval, transform=_cms_transform(),
         )
 
     if "pairs" in queries:
