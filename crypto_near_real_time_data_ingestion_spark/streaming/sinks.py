@@ -547,3 +547,65 @@ class CountMinSink(ParquetMergeSink):
 
     def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
         return self._compact_frame(spark.read.parquet(*paths))
+
+
+class HllSink(ParquetMergeSink):
+    """HyperLogLog register sink: per-batch deltas are register frames
+    (``operators/hll.hll_build`` over each micro-batch) and the read
+    view MAX-merges registers pointwise — pointwise max of HLL register
+    vectors is the HLL of the union (Flajolet et al. 2007 §4), so the
+    merged view is the sketch of everything ever ingested in ≤ 2^p rows
+    of state per delta, at any stream length.
+
+    The family's odd one out: SUM-merge deltas (``AdditiveSummarySink``,
+    ``CountMinSink``) are NOT replay-idempotent — their commit log is
+    load-bearing for correctness. MAX-merge IS idempotent (``max(a, a)
+    == a``): re-folding a replayed delta is algebraically a no-op, so
+    this sink's read view stays correct even if the same batch lands
+    twice, and the inherited commit log serves lineage manifests,
+    time travel, and compaction GC rather than correctness. The pytest
+    contract pins the algebra directly (a duplicated delta file changes
+    nothing).
+
+    Parameter binding follows ``CountMinSink``: (p, seed) persist in a
+    sidecar and a mismatched reopen is refused — registers only merge
+    under the bucket split and salt they were built with, and a seed
+    mismatch is structurally invisible. Query via ``estimate()``."""
+
+    def __init__(self, table_dir: str, p: int = 12, seed: int = 0):
+        from ..operators.hll import _check_p
+
+        _check_p(p)
+        super().__init__(table_dir, keys=["bucket"], event_time_col=None)
+        params = {"p": p, "seed": seed}
+        path = os.path.join(table_dir, "_hll_params.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+            if existing != params:
+                raise ValueError(
+                    f"HllSink at {table_dir} was created with {existing}; "
+                    f"refusing to reopen with {params} — registers from "
+                    "different HLL parameters must never merge"
+                )
+        else:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(params, f)
+            os.rename(tmp, path)
+        self.p, self.seed = p, seed
+
+    def estimate(self, spark: SparkSession) -> DataFrame:
+        """Cardinality estimate of everything ingested, through the
+        merged view, bound to the sink's persisted parameters."""
+        from ..operators.hll import hll_estimate
+
+        return hll_estimate(self.read(spark), self.p)
+
+    def _compact_frame(self, df: DataFrame) -> DataFrame:
+        """Max-merge fold; associative AND idempotent, so snapshot
+        compaction, newer deltas on top, and replays all stay exact."""
+        return df.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+    def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        return self._compact_frame(spark.read.parquet(*paths))

@@ -42,7 +42,7 @@ def drained(spark, transcripts_parquet, stream_parquet_dir):
         WORK,
         queries=(
             "silver", "gold_hour", "gold_hour_rank", "sessions", "pairs",
-            "role_runs", "tool_asof", "heavy_hitters", "enriched_hour",
+            "role_runs", "tool_asof", "heavy_hitters", "hll", "enriched_hour",
         ),
         max_files_per_trigger=2,
     )
@@ -158,6 +158,35 @@ def test_stream_heavy_hitters_exact_regime(spark, transcripts_parquet, drained):
         silver_batch(read_transcripts(spark, transcripts_parquet))
     )
     assert_df_equal(got.select("token", "count"), want.toPandas(), sort_cols=["token"])
+
+
+def test_stream_hll_registers_bit_equal_batch(spark, transcripts_parquet, drained):
+    """Streaming HLL maintenance: the MAX-merged per-batch register
+    deltas are BIT-EQUAL to one batch build over the whole deduped
+    corpus (max-merge = union exactly — the sketch is approximate only
+    in its ESTIMATE, never in its maintenance), and the estimate through
+    the sink answers within the published error bound. Duplicate turns
+    that dropDuplicatesWithinWatermark lets through as late singletons
+    are absorbed by max, so this holds with NO exactly-once assist —
+    the algebraic tolerance the sum-merge sketch sinks don't have."""
+    from crypto_near_real_time_data_ingestion_spark.operators.hll import (
+        STREAM_HLL_P,
+        hll_build,
+        hll_standard_error,
+    )
+
+    got = {
+        r["bucket"]: r["rho"] for r in drained.sinks["hll"].read(spark).collect()
+    }
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    want = {
+        r["bucket"]: r["rho"]
+        for r in hll_build(silver, "conv_id", p=STREAM_HLL_P).collect()
+    }
+    assert got == want
+    exact = silver.select("conv_id").distinct().count()
+    est = drained.sinks["hll"].estimate(spark).collect()[0]["n_distinct_est"]
+    assert abs(est - exact) <= 4 * hll_standard_error(STREAM_HLL_P) * exact
 
 
 def test_batch_replay_is_idempotent(spark, drained):
