@@ -35,6 +35,11 @@ Queries:
               per-batch HyperLogLog register deltas over conv_id →
               HllSink (pointwise register MAX — idempotent, so replays
               are no-ops by algebra; ≤ 2^p state at any stream length)
+  hll_hour    windowed form of hll: per-hour-window register deltas →
+              WindowedHllSink (distinct conversations per hour with
+              state bounded by TIME not cardinality; late data folds
+              into its window's registers idempotently — no watermark
+              needed for correctness)
   enriched_hour  stream-static broadcast join (role dimension) feeding
               a per-(window, role_group) aggregate → MERGE
   features    silver-stream → per-conv stateful rolling features → MERGE
@@ -231,6 +236,7 @@ def start_pipeline(
     fold_hh = "silver" in queries and "heavy_hitters" in queries
     fold_cms = "silver" in queries and "countmin" in queries
     fold_hll = "silver" in queries and "hll" in queries
+    fold_hll_hour = "silver" in queries and "hll_hour" in queries
     fold_rank = "gold_hour" in queries and "gold_hour_rank" in queries
 
     # Batch-id provenance guard: a sink's commit log keys on bare batch
@@ -249,6 +255,8 @@ def start_pipeline(
         wiring["countmin"] = "silver"
     if fold_hll:
         wiring["hll"] = "silver"
+    if fold_hll_hour:
+        wiring["hll_hour"] = "silver"
     if fold_rank:
         wiring["gold_hour_rank"] = "gold_hour"
     wiring_path = os.path.join(work_dir, "_sink_wiring.json")
@@ -326,6 +334,23 @@ def start_pipeline(
             bdf.filter(F.col("conv_id") != FLUSH_CONV_ID), "conv_id", p=STREAM_HLL_P
         )
 
+    def _hll_hour_transform():
+        from pyspark.sql import functions as F
+
+        from ..datagen.flush import FLUSH_CONV_ID
+        from ..operators.hll import STREAM_HLL_P, hll_windowed_build
+
+        # distinct conversations PER HOUR WINDOW — late data folds into
+        # its window's registers idempotently, so no watermark is needed
+        # for correctness (state grows with time, not cardinality)
+        return lambda bdf: hll_windowed_build(
+            bdf.filter(F.col("conv_id") != FLUSH_CONV_ID),
+            "conv_id",
+            "ts",
+            "1 hour",
+            p=STREAM_HLL_P,
+        )
+
     if "silver" in queries:
         from .sinks import AdditiveSummarySink
 
@@ -350,6 +375,13 @@ def start_pipeline(
             hll_sink = HllSink(table("hll"), p=STREAM_HLL_P)
             h.sinks["hll"] = hll_sink
             extra.append((hll_sink, _hll_transform()))
+        if fold_hll_hour:
+            from ..operators.hll import STREAM_HLL_P
+            from .sinks import WindowedHllSink
+
+            whll_sink = WindowedHllSink(table("hll_hour"), p=STREAM_HLL_P)
+            h.sinks["hll_hour"] = whll_sink
+            extra.append((whll_sink, _hll_hour_transform()))
         q = _start(
             silver_stream(src(), watermark), sink, "silver", ckpt("silver"),
             "append", available_now, trigger_interval,
@@ -362,6 +394,8 @@ def start_pipeline(
             h.queries["countmin"] = q
         if fold_hll:
             h.queries["hll"] = q
+        if fold_hll_hour:
+            h.queries["hll_hour"] = q
 
     if "gold_hour" in queries:
         sink = ParquetMergeSink(table("gold_hour"), ["window_start", "conv_id"], "window_start")
@@ -585,6 +619,19 @@ def start_pipeline(
             silver_stream(src(), watermark),
             sink, "hll", ckpt("hll"), "append",
             available_now, trigger_interval, transform=_hll_transform(),
+        )
+
+    if "hll_hour" in queries and not fold_hll_hour:
+        from ..operators.hll import STREAM_HLL_P
+        from .sinks import WindowedHllSink
+
+        # standalone form of the windowed-HLL maintenance query
+        sink = WindowedHllSink(table("hll_hour"), p=STREAM_HLL_P)
+        h.sinks["hll_hour"] = sink
+        h.queries["hll_hour"] = _start(
+            silver_stream(src(), watermark),
+            sink, "hll_hour", ckpt("hll_hour"), "append",
+            available_now, trigger_interval, transform=_hll_hour_transform(),
         )
 
     if "pairs" in queries:

@@ -480,6 +480,31 @@ class AdditiveSummarySink(ParquetMergeSink):
         )
 
 
+def _bind_sketch_params(
+    table_dir: str, filename: str, params: dict, what: str
+) -> None:
+    """Persist a sketch sink's parameters in a sidecar on first open and
+    refuse mismatched reopens (the ``_sink_wiring.json`` guard pattern):
+    sketches only merge/query correctly under the parameters they were
+    built with, and a SEED mismatch is structurally invisible — mixing
+    deltas from two configs silently breaks the sketch's guarantee."""
+    path = os.path.join(table_dir, filename)
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        if existing != params:
+            raise ValueError(
+                f"{what} at {table_dir} was created with {existing}; "
+                f"refusing to reopen with {params} — deltas from "
+                "different sketch parameters must never mix"
+            )
+    else:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.rename(tmp, path)
+
+
 class CountMinSink(ParquetMergeSink):
     """Count-Min sketch sink: per-batch deltas are CMS cell frames
     (``operators/countmin.cms_build`` over each micro-batch) and the
@@ -506,22 +531,12 @@ class CountMinSink(ParquetMergeSink):
 
         _check_width(width)
         super().__init__(table_dir, keys=["row", "col"], event_time_col=None)
-        params = {"width": width, "depth": depth, "seed": seed}
-        path = os.path.join(table_dir, "_cms_params.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                existing = json.load(f)
-            if existing != params:
-                raise ValueError(
-                    f"CountMinSink at {table_dir} was created with "
-                    f"{existing}; refusing to reopen with {params} — "
-                    "deltas from different CMS parameters must never mix"
-                )
-        else:
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(params, f)
-            os.rename(tmp, path)
+        _bind_sketch_params(
+            table_dir,
+            "_cms_params.json",
+            {"width": width, "depth": depth, "seed": seed},
+            "CountMinSink",
+        )
         self.width, self.depth, self.seed = width, depth, seed
 
     def estimates(
@@ -577,22 +592,9 @@ class HllSink(ParquetMergeSink):
 
         _check_p(p)
         super().__init__(table_dir, keys=["bucket"], event_time_col=None)
-        params = {"p": p, "seed": seed}
-        path = os.path.join(table_dir, "_hll_params.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                existing = json.load(f)
-            if existing != params:
-                raise ValueError(
-                    f"HllSink at {table_dir} was created with {existing}; "
-                    f"refusing to reopen with {params} — registers from "
-                    "different HLL parameters must never merge"
-                )
-        else:
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(params, f)
-            os.rename(tmp, path)
+        _bind_sketch_params(
+            table_dir, "_hll_params.json", {"p": p, "seed": seed}, "HllSink"
+        )
         self.p, self.seed = p, seed
 
     def estimate(self, spark: SparkSession) -> DataFrame:
@@ -606,6 +608,47 @@ class HllSink(ParquetMergeSink):
         """Max-merge fold; associative AND idempotent, so snapshot
         compaction, newer deltas on top, and replays all stay exact."""
         return df.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+    def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        return self._compact_frame(spark.read.parquet(*paths))
+
+
+class WindowedHllSink(ParquetMergeSink):
+    """Per-event-time-window HLL registers: deltas are
+    ``operators/hll.hll_windowed_build`` frames and the read view
+    max-merges per (window_start, bucket) — every tumbling window keeps
+    its own ≤ 2^p-register sketch, and late/replayed data folds into
+    its window idempotently (no watermark needed for CORRECTNESS: a
+    week-late turn still lands in the right window's registers, which
+    is the advantage over an exact windowed countDistinct whose state
+    for closed windows is gone). State is windows_seen · 2^p rows —
+    bounded by TIME, not by key cardinality, which is the right axis at
+    10^12 turns. Same algebraic replay tolerance and parameter binding
+    as ``HllSink``."""
+
+    def __init__(self, table_dir: str, p: int = 12, seed: int = 0):
+        from ..operators.hll import _check_p
+
+        _check_p(p)
+        super().__init__(
+            table_dir, keys=["window_start", "bucket"], event_time_col="window_start"
+        )
+        _bind_sketch_params(
+            table_dir, "_hll_params.json", {"p": p, "seed": seed}, "WindowedHllSink"
+        )
+        self.p, self.seed = p, seed
+
+    def estimates(self, spark: SparkSession) -> DataFrame:
+        """Per-window cardinality estimates through the merged view,
+        bound to the sink's persisted parameters."""
+        from ..operators.hll import hll_windowed_estimate
+
+        return hll_windowed_estimate(self.read(spark), self.p)
+
+    def _compact_frame(self, df: DataFrame) -> DataFrame:
+        return df.groupBy("window_start", "bucket").agg(
+            F.max("rho").alias("rho")
+        )
 
     def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
         return self._compact_frame(spark.read.parquet(*paths))

@@ -130,6 +130,64 @@ def test_hll_nulls_and_validation(spark):
             hll_build(df, "x", p=bad)
 
 
+def test_hll_windowed_registers_bit_equal_per_window_builds(spark, transcripts_parquet):
+    """The one-pass windowed build equals running the flat build on each
+    window's slice independently — register for register, window for
+    window (the factorized fold is max all the way up, like the flat
+    one), regardless of how rows are partitioned."""
+    from crypto_near_real_time_data_ingestion_spark.operators.hll import (
+        hll_windowed_build,
+    )
+    from crypto_near_real_time_data_ingestion_spark.sources import read_transcripts
+
+    turns = read_transcripts(spark, transcripts_parquet).repartition(16)
+    got = {
+        (r["window_start"], r["bucket"]): r["rho"]
+        for r in hll_windowed_build(turns, "conv_id", "ts", "1 hour", p=8).collect()
+    }
+    windows = [
+        r["w"]
+        for r in turns.select(F.window("ts", "1 hour").start.alias("w"))
+        .distinct()
+        .collect()
+    ]
+    want = {}
+    for w in windows:
+        slice_df = turns.filter(F.window("ts", "1 hour").start == w)
+        for b, rho in _regs_dict(hll_build(slice_df, "conv_id", p=8)).items():
+            want[(w, b)] = rho
+    assert got == want
+
+
+def test_hll_windowed_estimates_within_bound(spark, transcripts_parquet):
+    """Per-window estimates vs per-window exact countDistinct, every
+    window within 4 standard errors (p=12 ⇒ 1.6% stderr; the driver
+    corpus windows are small enough to sit in the near-exact
+    linear-counting regime, so this bound is loose on purpose)."""
+    from crypto_near_real_time_data_ingestion_spark.operators.hll import (
+        hll_windowed_build,
+        hll_windowed_estimate,
+    )
+    from crypto_near_real_time_data_ingestion_spark.sources import read_transcripts
+
+    turns = read_transcripts(spark, transcripts_parquet)
+    sk = hll_windowed_build(turns, "conv_id", "ts", "1 hour", p=P)
+    est = {
+        r["window_start"]: r["n_distinct_est"]
+        for r in hll_windowed_estimate(sk, P).collect()
+    }
+    exact = {
+        r["w"]: r["n"]
+        for r in turns.groupBy(F.window("ts", "1 hour").start.alias("w"))
+        .agg(F.countDistinct("conv_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    tol = 4 * hll_standard_error(P)
+    for w, n in exact.items():
+        assert abs(est[w] - n) <= max(tol * n, 2.0), (w, est[w], n)
+
+
 def test_hll_sink_merge_replay_and_compaction(spark, tmp_path):
     """End-to-end sink contract: per-batch register deltas MAX-merge to
     the union sketch; a replayed delta is a no-op BY ALGEBRA (not just

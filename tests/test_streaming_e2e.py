@@ -42,7 +42,8 @@ def drained(spark, transcripts_parquet, stream_parquet_dir):
         WORK,
         queries=(
             "silver", "gold_hour", "gold_hour_rank", "sessions", "pairs",
-            "role_runs", "tool_asof", "heavy_hitters", "hll", "enriched_hour",
+            "role_runs", "tool_asof", "heavy_hitters", "hll", "hll_hour",
+            "enriched_hour",
         ),
         max_files_per_trigger=2,
     )
@@ -187,6 +188,46 @@ def test_stream_hll_registers_bit_equal_batch(spark, transcripts_parquet, draine
     exact = silver.select("conv_id").distinct().count()
     est = drained.sinks["hll"].estimate(spark).collect()[0]["n_distinct_est"]
     assert abs(est - exact) <= 4 * hll_standard_error(STREAM_HLL_P) * exact
+
+
+def test_stream_hll_hour_windows_bit_equal_batch(spark, transcripts_parquet, drained):
+    """Windowed HLL maintenance: per-hour register deltas MAX-merged by
+    the sink equal one batch windowed build over the whole deduped
+    corpus — window for window, register for register — and the
+    per-window estimates match distinct conversations per hour within
+    the published bound."""
+    from crypto_near_real_time_data_ingestion_spark.operators.hll import (
+        STREAM_HLL_P,
+        hll_standard_error,
+        hll_windowed_build,
+    )
+
+    got = {
+        (r["window_start"], r["bucket"]): r["rho"]
+        for r in drained.sinks["hll_hour"].read(spark).collect()
+    }
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    want = {
+        (r["window_start"], r["bucket"]): r["rho"]
+        for r in hll_windowed_build(
+            silver, "conv_id", "ts", "1 hour", p=STREAM_HLL_P
+        ).collect()
+    }
+    assert got == want
+    est = {
+        r["window_start"]: r["n_distinct_est"]
+        for r in drained.sinks["hll_hour"].estimates(spark).collect()
+    }
+    exact = {
+        r["w"]: r["n"]
+        for r in silver.groupBy(F.window("ts", "1 hour").start.alias("w"))
+        .agg(F.countDistinct("conv_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    tol = 4 * hll_standard_error(STREAM_HLL_P)
+    for w, n in exact.items():
+        assert abs(est[w] - n) <= max(tol * n, 2.0), (w, est[w], n)
 
 
 def test_batch_replay_is_idempotent(spark, drained):
