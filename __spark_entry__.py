@@ -39,6 +39,9 @@ from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     countmin as cm_op,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
+    histogram as hist_op,
+)
+from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     clusters as clusters_op,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import joins as joins_op  # noqa: E402
@@ -153,7 +156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc_chunks (round 4, for streaming_countmin's slot: the pack oracle
     re-derives the chunk CTE so chunking stays transitively driver-graded
     via doc_pack_sequences, and test_doc_chunks keeps its own DuckDB
-    oracle)."""
+    oracle), media_metadata (round 4, for streaming_latency_hist's slot:
+    the documents_as_media mapping stays driver-graded via
+    media_features; the metadata projection is oracle-pinned in
+    test_retired_twins::test_media_metadata_oracle)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def _silver(spark, sf_dir):
@@ -205,9 +211,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_features"] = lambda s, d: mm_op.extract_media_features(
         mm_op.documents_as_media(dg.read_documents(s, d))
     )
-    q["media_metadata"] = lambda s, d: mm_op.documents_as_media(
-        dg.read_documents(s, d)
-    ).select("media_id", "media_type", "n_bytes")
+    # streaming latency-percentile maintenance (round 4): the fixed-bin
+    # histogram riding the pairs join. The histogram is EXACT (integer-µs
+    # floor division), so this needs no exact-regime trick — value-hash
+    # graded at the production bin width. Takes media_metadata's slot
+    # (retired to test_retired_twins::test_media_metadata_oracle; its
+    # sibling media_features stays graded on the same documents_as_media
+    # plan, so the multimodal mapping remains transitively driver-graded).
+    q["streaming_latency_hist"] = _run_streaming_latency_hist
     # W10 streaming form: per-closed-window dense_rank in foreachBatch
     # (new this round; same oracle recipe as the batch rank)
     q["streaming_rank"] = lambda s, d: _run_streaming(s, d, "gold_hour_rank")
@@ -401,9 +412,10 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # all streaming entries share ONE drain of the arrival-ordered stream:
-# a single rate-controlled source feed with the 14 queries running
-# concurrently as 11 checkpointed jobs (silver+heavy_hitters+countmin
-# and gold_hour+rank each fold into one query with per-sink commit logs)
+# a single rate-controlled source feed with the 15 queries running
+# concurrently as 11 checkpointed jobs (silver+heavy_hitters+countmin,
+# gold_hour+rank, and pairs+latency_hist each fold into one query with
+# per-sink commit logs)
 # — the reference's sequential-DAG analog as one continuous pipeline
 # (and 10× cheaper than per-query drains in the driver's verify/bench
 # loop). Results are
@@ -412,8 +424,8 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unlike id(spark) which CPython can recycle after GC).
 _STREAM_QUERIES = (
     "silver", "gold_hour", "gold_hour_rank", "gold_day", "gold_sliding",
-    "sessions", "pairs", "features", "unanswered", "role_runs", "tool_asof",
-    "heavy_hitters", "countmin", "enriched_hour",
+    "sessions", "pairs", "latency_hist", "features", "unanswered",
+    "role_runs", "tool_asof", "heavy_hitters", "countmin", "enriched_hour",
 )
 _stream_cache: dict[tuple, object] = {}
 
@@ -428,7 +440,7 @@ def _fast_tmp() -> str:
 
 def _flushed_src(sf: float) -> str:
     """Flushed copy of the arrival-ordered stream source, SHARED by the
-    14-query drain and the TWS drain (built once per sf, outside any
+    15-query drain and the TWS drain (built once per sf, outside any
     drain's work dir so neither drain's cleanup removes it)."""
     from crypto_near_real_time_data_ingestion_spark.datagen.flush import (
         build_flushed_source,
@@ -452,7 +464,7 @@ def _sql_view_ohlc_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the transformWithState backend in ITS OWN pipeline (separate
-    work dir/checkpoints from the shared 14-query drain, but REUSING that
+    work dir/checkpoints from the shared 15-query drain, but REUSING that
     drain's flushed source copy) and return the causal feature columns —
     same oracle as streaming_conv_features. maxFilesPerTrigger is sized
     to the source's data-file count so the drain runs the MINIMAL two
@@ -493,6 +505,24 @@ def _run_streaming_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_cache[key] = h
     return h.sinks["features_tws"].read(spark).filter(
         F.col("conv_id") != FLUSH_CONV_ID
+    )
+
+
+def _run_streaming_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latency-percentile maintenance: the shared drain's
+    pairs fold writes one fixed-bin histogram delta per micro-batch into
+    the additive commit-log sink; this entry reads the pointwise-summed
+    merge. The histogram is exact by construction (integer-µs floor
+    division), so the whole maintenance path answers a plain-SQL oracle
+    at the production bin width — the percentile READ (certified one-bin
+    bracket, ``HistogramSink.percentiles``) is contract-tested in
+    test_histogram.py."""
+    from pyspark.sql import functions as F
+
+    h = drain_streams(spark, sf_dir)
+    return h.sinks["latency_hist"].read(spark).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("count").cast("long").alias("count"),
     )
 
 
@@ -825,12 +855,7 @@ def oracle_sql() -> dict[str, str]:
         # the stubbed "decode" features are deterministic byte math —
         # re-derived from hex(encode(text)) in DuckDB
         "media_features": mm_op.MEDIA_FEATURES_ORACLE_SQL,
-        "media_metadata": """
-            SELECT doc_id AS media_id,
-                   CASE WHEN doc_id % 3 = 0 THEN 'image'
-                        WHEN doc_id % 3 = 1 THEN 'audio'
-                        ELSE 'video' END AS media_type,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-            FROM documents WHERE text IS NOT NULL
-        """,
+        "streaming_latency_hist": hist_op.STREAM_LATENCY_HIST_ORACLE_SQL_TEMPLATE.format(
+            path=path, bin_width_us=hist_op.LAT_HIST_BIN_US
+        ),
     }

@@ -183,7 +183,7 @@ def _batch_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     timings: dict[str, float] = {}
-    # run the shared 14-query streaming drain FIRST as its own line item:
+    # run the shared 15-query streaming drain FIRST as its own line item:
     # without this, the whole drain cost lands on whichever streaming
     # query happens to be timed first (masking regressions in the others);
     # with it, each streaming_* entry's time is its incremental sink-read

@@ -40,6 +40,13 @@ Queries:
               state bounded by TIME not cardinality; late data folds
               into its window's registers idempotently — no watermark
               needed for correctness)
+  latency_hist  global inter-turn latency percentile maintenance:
+              per-batch fixed-bin histograms of user→response latency
+              (integer µs) riding the pairs join → HistogramSink
+              (additive; ≤ n_bins state; percentile reads return
+              certified one-bin brackets). The histogram is EXACT, so
+              this maintenance path is value-hash graded end-to-end
+              (streaming_latency_hist)
   enriched_hour  stream-static broadcast join (role dimension) feeding
               a per-(window, role_group) aggregate → MERGE
   features    silver-stream → per-conv stateful rolling features → MERGE
@@ -238,6 +245,7 @@ def start_pipeline(
     fold_hll = "silver" in queries and "hll" in queries
     fold_hll_hour = "silver" in queries and "hll_hour" in queries
     fold_rank = "gold_hour" in queries and "gold_hour_rank" in queries
+    fold_lat = "pairs" in queries and "latency_hist" in queries
 
     # Batch-id provenance guard: a sink's commit log keys on bare batch
     # ids, which are only meaningful relative to the ONE checkpoint that
@@ -259,6 +267,8 @@ def start_pipeline(
         wiring["hll_hour"] = "silver"
     if fold_rank:
         wiring["gold_hour_rank"] = "gold_hour"
+    if fold_lat:
+        wiring["latency_hist"] = "pairs"
     wiring_path = os.path.join(work_dir, "_sink_wiring.json")
     prior: dict[str, str] = {}
     if os.path.exists(wiring_path):
@@ -634,12 +644,56 @@ def start_pipeline(
             available_now, trigger_interval, transform=_hll_hour_transform(),
         )
 
+    def _lat_hist_transform():
+        from pyspark.sql import functions as F
+
+        from ..datagen.flush import FLUSH_CONV_ID
+        from ..operators.histogram import LAT_HIST_BIN_US, pair_latency_bins
+
+        # the flush sentinel cannot form a pair (its conv has no second
+        # turn), but exclude it anyway — the additive sink can't
+        # un-count a row, and conventions shouldn't rely on the join
+        # shape staying pair-proof
+        return lambda bdf: pair_latency_bins(
+            bdf.filter(F.col("conv_id") != FLUSH_CONV_ID),
+            bin_width_us=LAT_HIST_BIN_US,
+        )
+
     if "pairs" in queries:
         sink = ParquetMergeSink(table("pairs"), ["conv_id", "user_turn_idx"], None)
         h.sinks["pairs"] = sink
-        h.queries["pairs"] = _start(
+        extra = None
+        if fold_lat:
+            from ..operators.histogram import LAT_HIST_BIN_US
+            from .sinks import HistogramSink
+
+            # global inter-turn latency percentile maintenance: the
+            # pairs stream already carries (user_ts, response_ts) per
+            # emitted pair, so the histogram rides it as one more
+            # additive delta per micro-batch (≤ n_bins rows of state)
+            lat_sink = HistogramSink(table("latency_hist"), bin_width=LAT_HIST_BIN_US)
+            h.sinks["latency_hist"] = lat_sink
+            extra = [(lat_sink, _lat_hist_transform())]
+        q = _start(
             user_response_pairs_stream(silver_stream(src(), watermark)),
             sink, "pairs", ckpt("pairs"), "append", available_now, trigger_interval,
+            extra_sinks=extra,
+        )
+        h.queries["pairs"] = q
+        if fold_lat:
+            h.queries["latency_hist"] = q
+
+    if "latency_hist" in queries and not fold_lat:
+        from ..operators.histogram import LAT_HIST_BIN_US
+        from .sinks import HistogramSink
+
+        # standalone form: its own pairs join feeding only the histogram
+        sink = HistogramSink(table("latency_hist"), bin_width=LAT_HIST_BIN_US)
+        h.sinks["latency_hist"] = sink
+        h.queries["latency_hist"] = _start(
+            user_response_pairs_stream(silver_stream(src(), watermark)),
+            sink, "latency_hist", ckpt("latency_hist"), "append",
+            available_now, trigger_interval, transform=_lat_hist_transform(),
         )
 
     _commit_wiring()

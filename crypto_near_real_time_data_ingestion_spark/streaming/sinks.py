@@ -613,6 +613,50 @@ class HllSink(ParquetMergeSink):
         return self._compact_frame(spark.read.parquet(*paths))
 
 
+class HistogramSink(ParquetMergeSink):
+    """Fixed-bin histogram sink: per-batch deltas are (bin, count)
+    frames (``operators/histogram.value_bins`` over each micro-batch)
+    and the read view sums counts pointwise — the histogram of
+    everything ingested (bin counts are additive like CMS cells).
+    Additive ⇒ not replay-idempotent, so the batch-id commit log is
+    load-bearing exactly as for the other SUM-merge sketch sinks;
+    state per delta is ≤ n_bins rows at any batch size.
+
+    The histogram itself is EXACT (the approximation lives only in the
+    percentile READ, which returns a certified one-bin bracket via
+    ``percentiles()``), so unlike the MG/CMS exact-regime tricks this
+    sink's maintenance path is value-hash gradeable at ANY bin width.
+    ``bin_width`` persists in a sidecar — bins from different widths
+    must never sum (same binding rule as the sketch params)."""
+
+    def __init__(self, table_dir: str, bin_width: int):
+        if bin_width <= 0:
+            raise ValueError(f"bin_width must be positive, got {bin_width}")
+        super().__init__(table_dir, keys=["bin"], event_time_col=None)
+        _bind_sketch_params(
+            table_dir,
+            "_hist_params.json",
+            {"bin_width": int(bin_width)},
+            "HistogramSink",
+        )
+        self.bin_width = int(bin_width)
+
+    def percentiles(self, spark: SparkSession, qs) -> DataFrame:
+        """Certified percentile brackets through the merged view, bound
+        to the sink's persisted bin width."""
+        from ..operators.histogram import hist_percentiles
+
+        return hist_percentiles(self.read(spark), qs, self.bin_width)
+
+    def _compact_frame(self, df: DataFrame) -> DataFrame:
+        """Additive fold = pointwise bin-count sum; associative, so
+        snapshot compaction + newer deltas on top stays exact."""
+        return df.groupBy("bin").agg(F.sum("count").alias("count"))
+
+    def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        return self._compact_frame(spark.read.parquet(*paths))
+
+
 class WindowedHllSink(ParquetMergeSink):
     """Per-event-time-window HLL registers: deltas are
     ``operators/hll.hll_windowed_build`` frames and the read view

@@ -30,6 +30,12 @@ guard that registration stays inside the graded window:
   emb_near_dup (round 4, for      | test_streaming_emb.py (bit-equal to
     streaming_emb_pairs' slot)    |   the graded streaming form) +
                                   |   test_documents_ops.py (oracle)
+  doc_chunks (round 4, for        | test_documents_ops.py (oracle; the
+    streaming_countmin's slot)    |   pack oracle re-derives the chunk
+                                  |   CTE, so chunking stays transitively
+                                  |   driver-graded via doc_pack_sequences)
+  media_metadata (round 4, for    | HERE (documents_as_media stays
+    streaming_latency_hist's slot)|   driver-graded via media_features)
 """
 
 from __future__ import annotations
@@ -72,9 +78,35 @@ def test_registration_stays_inside_graded_window():
         "streaming_lsh_pairs", "streaming_emb_pairs",
         "doc_winnow_fingerprints",
         "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_ivfpq_ann_topk",
-        "media_features", "media_metadata", "streaming_rank",
+        "media_features", "streaming_latency_hist", "streaming_rank",
     ):
         assert names.index(must_be_early) < 10
+
+
+def test_media_metadata_oracle(spark):
+    """Retired round 4 (slot given to streaming_latency_hist): the
+    documents→media mapping's metadata projection vs the same DuckDB
+    byte-math oracle the driver graded in rounds 2-3."""
+    from conftest import SF_DIR
+    from crypto_near_real_time_data_ingestion_spark.operators.multimodal import (
+        documents_as_media,
+    )
+    from crypto_near_real_time_data_ingestion_spark.plans import documents_gold as dg
+
+    got = documents_as_media(dg.read_documents(spark, SF_DIR)).select(
+        "media_id", "media_type", "n_bytes"
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM read_parquet('{SF_DIR}/documents.parquet') WHERE text IS NOT NULL
+        """
+    ).df()
+    assert_df_equal(got, want, sort_cols=["media_id"])
 
 
 def test_sliding_grain_oracle(spark, transcripts_parquet):

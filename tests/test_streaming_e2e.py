@@ -43,7 +43,7 @@ def drained(spark, transcripts_parquet, stream_parquet_dir):
         queries=(
             "silver", "gold_hour", "gold_hour_rank", "sessions", "pairs",
             "role_runs", "tool_asof", "heavy_hitters", "hll", "hll_hour",
-            "enriched_hour",
+            "latency_hist", "enriched_hour",
         ),
         max_files_per_trigger=2,
     )
@@ -228,6 +228,52 @@ def test_stream_hll_hour_windows_bit_equal_batch(spark, transcripts_parquet, dra
     tol = 4 * hll_standard_error(STREAM_HLL_P)
     for w, n in exact.items():
         assert abs(est[w] - n) <= max(tol * n, 2.0), (w, est[w], n)
+
+
+def test_stream_latency_hist_equals_batch(spark, transcripts_parquet, drained):
+    """Streaming histogram maintenance: the additive sink's pointwise
+    sum of per-batch bin deltas equals the batch histogram over the
+    whole pairs relation (exactly-once makes the additive merge exact —
+    each pair is emitted by the stream-stream join exactly once), and
+    percentile reads through the sink honor the certified bracket."""
+    import numpy as np
+
+    from crypto_near_real_time_data_ingestion_spark.operators.histogram import (
+        LAT_HIST_BIN_US,
+        pair_latency_bins,
+    )
+    from crypto_near_real_time_data_ingestion_spark.operators.joins import (
+        user_response_pairs,
+    )
+
+    got = {
+        r["bin"]: r["count"]
+        for r in drained.sinks["latency_hist"].read(spark).collect()
+    }
+    pairs = user_response_pairs(
+        silver_batch(read_transcripts(spark, transcripts_parquet))
+    )
+    want = {
+        r["bin"]: r["count"]
+        for r in pair_latency_bins(pairs, LAT_HIST_BIN_US).collect()
+    }
+    assert got == want
+    us = np.sort(
+        np.array(
+            [
+                r["us"]
+                for r in pairs.select(
+                    (
+                        F.unix_micros("response_ts") - F.unix_micros("user_ts")
+                    ).alias("us")
+                ).collect()
+            ],
+            dtype=np.int64,
+        )
+    )
+    for r in drained.sinks["latency_hist"].percentiles(spark, [0.5, 0.99]).collect():
+        true = int(us[r["rank"] - 1])
+        assert r["lo"] <= true < r["hi"]
 
 
 def test_batch_replay_is_idempotent(spark, drained):
