@@ -1,0 +1,188 @@
+"""Custom streaming source via Spark 4's Python Data Source API.
+
+The engine's default stream source is chunked parquet files read with
+``maxFilesPerTrigger`` (``transcripts_source.py``) — the Iceberg-
+snapshot-stream analog the reference's Glue jobs consume. This module
+provides the same arrival-ordered turn stream as a REAL registered
+source (``spark.dataSource.register`` +
+``readStream.format("synth_transcripts")``), demonstrating the full
+source contract the file shortcut hides:
+
+  * ``initialOffset`` / ``latestOffset`` — offsets are row positions in
+    the arrival-ordered log ``{"row": n}``; rate control caps each
+    micro-batch at ``rowsPerBatch`` rows (the reference's bookmark +
+    bounded-read pattern, ``app.py`` incremental scans).
+  * ``partitions(start, end)`` — each micro-batch splits into
+    ``numPartitions`` row ranges, one Spark task each: planning is
+    driver-side metadata only; DATA is read executor-side.
+  * ``read(partition)`` — executor-side pyarrow range scan yielding
+    Arrow RecordBatches (zero row-at-a-time Python; the §2.9 rule).
+  * ``commit(end)`` — the engine's signal that offsets ≤ end are
+    durable; replay after restart re-reads exactly the checkpointed
+    range, which is what makes the downstream exactly-once sinks hold
+    end-to-end (pinned by the kill/resume pytest).
+
+Restart semantics: Spark restores offsets from the checkpoint, replans
+the pending batch via ``partitions(start, end)``, and commits restored
+batches — the reader's rate-limit cursor self-repairs from whichever of
+those arrives first (it keeps a MAX, never trusts its own memory), so a
+fresh reader instance on a restarted query can never emit an offset
+below the checkpoint (which would move the log backward and lose data).
+
+Scale shape: offsets over a replayable ordered log is exactly the
+production contract (Kafka offsets / Iceberg snapshot ids); the
+synthetic backing store is one parquet file, and ``read`` slices it by
+row range per task. At real scale the same class fronts an object-store
+manifest where ``partitions`` maps offset ranges to file splits —
+nothing in the offset/planning/commit protocol changes.
+
+Reference parity: SURVEY §1.4 / §2.1 S6 (grouped incremental scan with
+bookmarks) re-expressed as a first-class Spark source instead of a
+file-listing trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SCHEMA_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def _read_range(path: str, start: int, end: int):
+    """Executor-side range scan: row-group-pruned pyarrow read, sliced
+    to [start, end) and yielded as Arrow RecordBatches (vectorized all
+    the way into Spark's Arrow ingestion — no per-row Python)."""
+    import pyarrow.parquet as pq
+
+    if end <= start:
+        return
+    pf = pq.ParquetFile(path)
+    # prune row groups outside the range (metadata-only), then slice the
+    # residual rows; with one giant file per sf this is a no-op, but it
+    # is the honest shape for a multi-row-group production log
+    groups, first_row = [], 0
+    rows_before = 0
+    for i in range(pf.metadata.num_row_groups):
+        n = pf.metadata.row_group(i).num_rows
+        if rows_before + n > start and rows_before < end:
+            if not groups:
+                first_row = rows_before
+            groups.append(i)
+        rows_before += n
+    if not groups:
+        return
+    table = pf.read_row_groups(groups)
+    sliced = table.slice(start - first_row, end - start)
+    yield from sliced.to_batches()
+
+
+class SynthTranscriptsDataSource(DataSource):
+    """``spark.dataSource.register(SynthTranscriptsDataSource)`` then
+    ``spark.readStream.format("synth_transcripts").option("sf", "0.001")
+    .option("rowsPerBatch", "500").load()``. Batch reads (``spark.read``)
+    are supported too (full log, range-partitioned)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_transcripts"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def _path_and_rows(self) -> tuple[str, int]:
+        import pyarrow.parquet as pq
+
+        from ..datagen import ensure_transcripts
+
+        sf = float(self.options.get("sf", "0.001"))
+        path = ensure_transcripts(sf)
+        return path, pq.ParquetFile(path).metadata.num_rows
+
+    def reader(self, schema) -> DataSourceReader:
+        path, n = self._path_and_rows()
+        return _SynthBatchReader(
+            path, n, int(self.options.get("numpartitions", "4"))
+        )
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        path, n = self._path_and_rows()
+        return _SynthStreamReader(
+            path,
+            n,
+            rows_per_batch=int(self.options.get("rowsperbatch", "500")),
+            n_parts=int(self.options.get("numpartitions", "4")),
+        )
+
+
+class _SynthBatchReader(DataSourceReader):
+    def __init__(self, path: str, n_rows: int, n_parts: int):
+        self.path, self.n_rows, self.n_parts = path, n_rows, n_parts
+
+    def partitions(self):
+        step = -(-self.n_rows // self.n_parts)
+        return [
+            _RangePartition(self.path, lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        yield from _read_range(partition.path, partition.start, partition.end)
+
+
+class _SynthStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, n_rows: int, rows_per_batch: int, n_parts: int):
+        if rows_per_batch <= 0:
+            raise ValueError(f"rowsPerBatch must be positive, got {rows_per_batch}")
+        self.path, self.n_rows = path, n_rows
+        self.rows_per_batch, self.n_parts = rows_per_batch, n_parts
+        # rate-limit cursor: advisory only — repaired upward from every
+        # offset Spark hands back (commit / partitions), never the other
+        # way, so a restarted query's fresh reader cannot rewind the log
+        self._cursor = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        # advance at most rows_per_batch past everything known durable —
+        # the rate-control half of the reference's bookmark pattern
+        self._cursor = min(self._cursor + self.rows_per_batch, self.n_rows)
+        return {"row": self._cursor}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["row"]), int(end["row"])
+        # self-repair on restart: Spark replans the pending batch from
+        # the checkpoint before ever calling latestOffset
+        self._cursor = max(self._cursor, e)
+        if e <= s:
+            return []
+        step = -(-(e - s) // self.n_parts)
+        return [
+            _RangePartition(self.path, lo, min(lo + step, e))
+            for lo in range(s, e, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        yield from _read_range(partition.path, partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        # restored-batch commits on restart repair the cursor too
+        self._cursor = max(self._cursor, int(end["row"]))
+
+    def stop(self) -> None:
+        pass
