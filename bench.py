@@ -190,12 +190,12 @@ def _batch_queries(spark) -> dict[str, float]:
     # cost and streaming_drain_total carries the drain itself
     t0 = time.time()
     entrymod.drain_streams(spark, SF_DIR)
-    timings["streaming_drain_total"] = round(time.time() - t0, 2)
+    timings["streaming_drain_total"] = round(time.time() - t0, 1)
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 2)
+        timings[name] = round(time.time() - t0, 1)
     return timings
 
 

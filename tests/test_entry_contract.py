@@ -48,8 +48,10 @@ def test_bench_json_line_fits_driver_tail():
         "value": 99999.99,
         "unit": "sec",
         # realistic-worst per-query width: the costliest entry ever
-        # recorded is the 105 s drain total; 999.99 (6 chars) bounds it
-        "queries": {n: 999.99 for n in names},
+        # recorded is the 105 s drain total; bench.py rounds per-query
+        # timings to ONE decimal (0.1 s line-item resolution), so 999.9
+        # (5 chars) bounds it
+        "queries": {n: 999.9 for n in names},
         "sf": 0.1,
         # mirror of bench.py main()'s streaming block, worst-case widths
         "streaming": {
