@@ -49,6 +49,10 @@ from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     multimodal as mm_op,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
+    pagerank as pr_op,
+)
+from crypto_near_real_time_data_ingestion_spark.operators import scd2 as scd2_op  # noqa: E402
+from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     retrieval as retrieval_op,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
@@ -64,6 +68,7 @@ from crypto_near_real_time_data_ingestion_spark.plans import (  # noqa: E402
     documents_gold as dg,
 )
 from crypto_near_real_time_data_ingestion_spark.plans import enrich as enrich_plan  # noqa: E402
+from crypto_near_real_time_data_ingestion_spark.plans import olap as olap_plan  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import events_gold as eg  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import gold_features  # noqa: E402
 from crypto_near_real_time_data_ingestion_spark.plans import gold_windows  # noqa: E402
@@ -159,13 +164,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle), media_metadata (round 4, for streaming_latency_hist's slot:
     the documents_as_media mapping stays driver-graded via
     media_features; the metadata projection is oracle-pinned in
-    test_retired_twins::test_media_metadata_oracle)."""
+    test_retired_twins::test_media_metadata_oracle), gold_role_runs_user
+    + gold_unanswered_user_turns (round 4, for emb_pagerank's +
+    events_scd2's slots: their streaming twins streaming_role_runs /
+    streaming_unanswered answer the IDENTICAL oracle SQL, so both
+    pattern oracles stay driver-graded; the batch plans stay
+    oracle-pinned in test_retired_twins + bit-equal to the streaming
+    forms in test_streaming_e2e), doc_ngram_jaccard (round 4, for
+    events_rollup's slot: the graded doc_minhash_lsh AND
+    streaming_lsh_pairs answer the IDENTICAL exact-Jaccard oracle, so
+    it stays transitively driver-graded twice over; its own oracle stays
+    in test_documents_ops::test_doc_ngram_jaccard), events_ohlc_hour
+    (round 4, for events_pivot's slot: the same events_ohlc plan stays
+    driver-graded at week grain through the S13 view entry
+    sql_view_ohlc_week; the hour grain is oracle-pinned in
+    test_retired_twins::test_events_ohlc_hour_oracle)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def _silver(spark, sf_dir):
         return silver_plan.silver_batch(_transcripts(spark, sf_dir))
 
     # --- newest / previously-ungraded entries first ------------------------
+    # integer fixed-point PageRank over the exact cosine k-NN graph
+    # (operators/pagerank.py): the iterative join+agg rounds AND the ANN
+    # edge derivation are value-hash graded through one chained-CTE oracle
+    q["emb_pagerank"] = lambda s, d: pr_op.emb_knn_pagerank(dg.read_embeddings(s, d))
+    # SCD Type 2 dimension history (operators/scd2.py): change-log →
+    # validity intervals; the incremental MERGE-shaped scd2_apply is
+    # pytest-pinned equivalent to this full rebuild (test_scd2.py)
+    q["events_scd2"] = lambda s, d: scd2_op.events_scd2(eg.read_events(s, d))
+    # one-pass multi-grain subtotals: ROLLUP + GROUPING() flags (the
+    # reference's per-grain gold jobs collapsed into grouping sets);
+    # the denser CUBE lattice twin is pytest-oracled (test_olap.py)
+    q["events_rollup"] = lambda s, d: olap_plan.events_rollup(eg.read_events(s, d))
+    # long→wide pivot with a pinned value list (inverse of the graded
+    # events_unpivot; explicit values keep the plan single-pass)
+    q["events_pivot"] = lambda s, d: olap_plan.events_pivot(eg.read_events(s, d))
     # streaming incremental LSH dedup (round 4): the stateful LSH index
     # fed the corpus as an arrival-ordered stream emits exactly the
     # batch minhash_lsh_pairs result, so it answers the SAME exact
@@ -281,10 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- CEP-style sequence patterns (north-rule "CEP"): consecutive-run
     # detection (gap-and-island) + negation/timeout (time-bounded anti-join)
     q["gold_tool_bursts"] = lambda s, d: patterns.tool_bursts(_silver(s, d))
-    q["gold_role_runs_user"] = lambda s, d: patterns.role_runs(_silver(s, d), "user")
-    q["gold_unanswered_user_turns"] = lambda s, d: patterns.unanswered_user_turns(
-        _silver(s, d)
-    )
+    # (gold_role_runs_user + gold_unanswered_user_turns retired round 4:
+    # streaming_role_runs / streaming_unanswered answer the identical
+    # oracle SQL — see the docstring retirement table)
 
     # --- streaming engine run end-to-end (Trigger.AvailableNow drain of the
     # arrival-ordered stream), checked against the SAME batch oracles ------
@@ -333,7 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the literal OHLC job (W3/W4 + A3-A5) and its grain-view layer (S13):
     # the view filters g='week' over the 4-grain union — Catalyst constant-
     # folds the other branches to empty relations (one scan survives)
-    q["events_ohlc_hour"] = lambda s, d: eg.events_ohlc(eg.read_events(s, d), "hour")
+    # (events_ohlc_hour retired round 4 for events_pivot's slot: the
+    # events_ohlc plan stays driver-graded at week grain via the view)
     q["sql_view_ohlc_week"] = _sql_view_ohlc_week
     q["events_minute_qa"] = lambda s, d: eg.events_minute_qa(eg.read_events(s, d))
     q["events_ml_features"] = lambda s, d: eg.events_ml_features(eg.read_events(s, d))
@@ -354,9 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- training-data pipeline: documents / embeddings --------------------
     q["doc_exact_dedup"] = lambda s, d: dg.doc_exact_dedup(dg.read_documents(s, d))
     q["doc_text_stats"] = lambda s, d: dg.doc_text_stats(dg.read_documents(s, d))
-    q["doc_ngram_jaccard"] = lambda s, d: dg.doc_ngram_jaccard_pairs(
-        dg.read_documents(s, d)
-    )
+    # (doc_ngram_jaccard retired round 4 for events_rollup's slot: the
+    # graded doc_minhash_lsh and streaming_lsh_pairs answer the
+    # identical exact-Jaccard oracle)
     # dataset assembly: hash-keyed split / stratified hash sampling /
     # mixture upweighting — all shuffle-free map-side ops
     q["doc_split_assign"] = lambda s, d: dg.doc_split_assign(dg.read_documents(s, d))
@@ -707,6 +741,12 @@ def _clustered_topk_oracle(k: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     path = _tpath(_ORACLE_SF)
     return {
+        # the chained-CTE oracle embeds the SAME exact top-k template the
+        # ANN entries answer, then replays the integer fixed-point rounds
+        "emb_pagerank": pr_op.emb_knn_pagerank_oracle_sql(),
+        "events_scd2": scd2_op.EVENTS_SCD2_ORACLE_SQL,
+        "events_rollup": olap_plan.EVENTS_ROLLUP_ORACLE_SQL,
+        "events_pivot": olap_plan.EVENTS_PIVOT_ORACLE_SQL,
         "silver_cleanse_dedup": silver_plan.SILVER_ORACLE_SQL_TEMPLATE.format(path=path),
         "streaming_enriched_hour": enrich_plan.ENRICHED_ORACLE_SQL_TEMPLATE.format(
             path=path
@@ -722,7 +762,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_lsh_pairs": dg.DOC_JACCARD_ORACLE_SQL_TEMPLATE.format(
             threshold=0.5
         ),
-        "events_ohlc_hour": eg.OHLC_ORACLE_SQL_TEMPLATE.format(grain="hour"),
         "sql_view_ohlc_week": eg.OHLC_ORACLE_SQL_TEMPLATE.format(grain="week"),
         "events_minute_qa": eg.EVENTS_MINUTE_QA_ORACLE_SQL,
         "events_ml_features": eg.EVENTS_ML_ORACLE_SQL,
@@ -732,12 +771,6 @@ def oracle_sql() -> dict[str, str]:
         "events_unpivot": eg.EVENTS_UNPIVOT_ORACLE_SQL,
         "gold_tool_bursts": patterns.ROLE_RUNS_ORACLE_SQL_TEMPLATE.format(
             path=path, role="tool", min_run=2
-        ),
-        "gold_role_runs_user": patterns.ROLE_RUNS_ORACLE_SQL_TEMPLATE.format(
-            path=path, role="user", min_run=2
-        ),
-        "gold_unanswered_user_turns": patterns.UNANSWERED_ORACLE_SQL_TEMPLATE.format(
-            path=path
         ),
         "gold_window_stats_week": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, grain="week"
@@ -823,7 +856,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_dup_clusters": clusters_op.dup_clusters_oracle_sql(threshold=0.5),
         "doc_text_stats": dg.DOC_TEXT_STATS_ORACLE_SQL,
-        "doc_ngram_jaccard": dg.DOC_JACCARD_ORACLE_SQL_TEMPLATE.format(threshold=0.5),
         "doc_hybrid_rrf": retrieval_op.hybrid_rrf_oracle_sql(
             RRF_TERMS, RRF_QVEC, k=RRF_TOPK, pool=RRF_POOL
         ),

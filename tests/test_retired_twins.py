@@ -36,6 +36,18 @@ guard that registration stays inside the graded window:
                                   |   driver-graded via doc_pack_sequences)
   media_metadata (round 4, for    | HERE (documents_as_media stays
     streaming_latency_hist's slot)|   driver-graded via media_features)
+  gold_role_runs_user (round 4,   | HERE (streaming_role_runs answers
+    for emb_pagerank's slot)      |   the IDENTICAL oracle SQL) +
+                                  |   test_streaming_e2e bit-equality
+  gold_unanswered_user_turns      | HERE (streaming_unanswered answers
+    (round 4, events_scd2's slot) |   the IDENTICAL oracle SQL)
+  doc_ngram_jaccard (round 4, for | test_documents_ops (own oracle;
+    events_rollup's slot)         |   doc_minhash_lsh + streaming_lsh_
+                                  |   pairs stay driver-graded on the
+                                  |   IDENTICAL exact-Jaccard oracle)
+  events_ohlc_hour (round 4, for  | HERE (the events_ohlc plan stays
+    events_pivot's slot)          |   driver-graded at week grain via
+                                  |   sql_view_ohlc_week)
 """
 
 from __future__ import annotations
@@ -75,12 +87,13 @@ def test_registration_stays_inside_graded_window():
     # if the window shrank slightly
     names = list(q)
     for must_be_early in (
+        "emb_pagerank", "events_scd2", "events_rollup", "events_pivot",
         "streaming_lsh_pairs", "streaming_emb_pairs",
         "doc_winnow_fingerprints",
         "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_ivfpq_ann_topk",
         "media_features", "streaming_latency_hist", "streaming_rank",
     ):
-        assert names.index(must_be_early) < 10
+        assert names.index(must_be_early) < 15
 
 
 def test_media_metadata_oracle(spark):
@@ -120,3 +133,44 @@ def test_sliding_grain_oracle(spark, transcripts_parquet):
         )
     ).df()
     assert_df_equal(got, want, sort_cols=["conv_id", "window_start"])
+
+
+def test_role_runs_user_oracle(spark, transcripts_parquet):
+    """Batch R{k,} run detector, retired round 4 (emb_pagerank's slot):
+    the graded streaming_role_runs answers this IDENTICAL oracle."""
+    from crypto_near_real_time_data_ingestion_spark.plans import patterns
+
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    got = patterns.role_runs(silver, "user")
+    want = duckdb.sql(
+        patterns.ROLE_RUNS_ORACLE_SQL_TEMPLATE.format(
+            path=transcripts_parquet, role="user", min_run=2
+        )
+    ).df()
+    assert_df_equal(got, want, sort_cols=["conv_id", "run_start_turn"])
+
+
+def test_unanswered_user_turns_oracle(spark, transcripts_parquet):
+    """Batch negation/timeout pattern, retired round 4 (events_scd2's
+    slot): the graded streaming_unanswered answers this IDENTICAL
+    oracle."""
+    from crypto_near_real_time_data_ingestion_spark.plans import patterns
+
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    got = patterns.unanswered_user_turns(silver)
+    want = duckdb.sql(
+        patterns.UNANSWERED_ORACLE_SQL_TEMPLATE.format(path=transcripts_parquet)
+    ).df()
+    assert_df_equal(got, want, sort_cols=["conv_id", "turn_idx"])
+
+
+def test_events_ohlc_hour_oracle(spark):
+    """Hour-grain OHLC, retired round 4 (events_pivot's slot): the same
+    events_ohlc plan stays driver-graded at week grain through the S13
+    view entry."""
+    from conftest import SF_DIR, duck_sql
+    from crypto_near_real_time_data_ingestion_spark.plans import events_gold as eg
+
+    got = eg.events_ohlc(spark.read.parquet(f"{SF_DIR}/events.parquet"), "hour")
+    want = duck_sql(eg.OHLC_ORACLE_SQL_TEMPLATE.format(grain="hour"))
+    assert_df_equal(got, want, sort_cols=["user_id", "period"])
