@@ -49,6 +49,9 @@ from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     multimodal as mm_op,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
+    funnel as funnel_op,
+)
+from crypto_near_real_time_data_ingestion_spark.operators import (  # noqa: E402
     pagerank as pr_op,
 )
 from crypto_near_real_time_data_ingestion_spark.operators import scd2 as scd2_op  # noqa: E402
@@ -178,7 +181,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (round 4, for events_pivot's slot: the same events_ohlc plan stays
     driver-graded at week grain through the S13 view entry
     sql_view_ohlc_week; the hour grain is oracle-pinned in
-    test_retired_twins::test_events_ohlc_hour_oracle)."""
+    test_retired_twins::test_events_ohlc_hour_oracle), streaming_gold_day
+    (round 4, for events_funnel_daily's slot: same parameterized plan as
+    the graded streaming_gold_hour; drained day sink bit-equal-pinned vs
+    batch in test_streaming_e2e::test_stream_gold_day_equals_batch, batch
+    day plan DuckDB-oracled in test_gold_plans — it also leaves the
+    shared drain, which pytest now covers in its own drain)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def _silver(spark, sf_dir):
@@ -200,6 +208,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long→wide pivot with a pinned value list (inverse of the graded
     # events_unpivot; explicit values keep the plan single-pass)
     q["events_pivot"] = lambda s, d: olap_plan.events_pivot(eg.read_events(s, d))
+    # k-step conversion funnel over chained FORWARD as-of joins
+    # (operators/funnel.py — earliest strictly-later match within a
+    # per-step horizon; one keyed shuffle per step, no pair blowup);
+    # takes streaming_gold_day's slot (same parameterized path as the
+    # graded streaming_gold_hour — see the retirement table)
+    q["events_funnel_daily"] = lambda s, d: funnel_op.events_funnel_daily(
+        eg.read_events(s, d)
+    )
     # streaming incremental LSH dedup (round 4): the stateful LSH index
     # fed the corpus as an arrival-ordered stream emits exactly the
     # batch minhash_lsh_pairs result, so it answers the SAME exact
@@ -323,7 +339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # arrival-ordered stream), checked against the SAME batch oracles ------
     q["streaming_silver"] = lambda s, d: _run_streaming(s, d, "silver")
     q["streaming_gold_hour"] = lambda s, d: _run_streaming(s, d, "gold_hour")
-    q["streaming_gold_day"] = lambda s, d: _run_streaming(s, d, "gold_day")
+    # (streaming_gold_day retired round 4 for events_funnel_daily's slot:
+    # same parameterized plan as the graded hour grain; the drained day
+    # sink stays bit-equal-pinned vs batch in test_streaming_e2e and the
+    # batch day plan stays DuckDB-oracled in test_gold_plans)
     q["streaming_gold_sliding"] = lambda s, d: _run_streaming(s, d, "gold_sliding")
     q["streaming_sessions_30m"] = lambda s, d: _run_streaming(s, d, "sessions").select(
         "conv_id", "session_start", "session_end", "n_turns", "n_tool_calls"
@@ -446,10 +465,11 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # all streaming entries share ONE drain of the arrival-ordered stream:
-# a single rate-controlled source feed with the 15 queries running
-# concurrently as 11 checkpointed jobs (silver+heavy_hitters+countmin,
+# a single rate-controlled source feed with the 14 queries running
+# concurrently as 10 checkpointed jobs (silver+heavy_hitters+countmin,
 # gold_hour+rank, and pairs+latency_hist each fold into one query with
-# per-sink commit logs)
+# per-sink commit logs; gold_day left with its retired registry entry —
+# pytest drains it in test_streaming_e2e)
 # — the reference's sequential-DAG analog as one continuous pipeline
 # (and 10× cheaper than per-query drains in the driver's verify/bench
 # loop). Results are
@@ -457,7 +477,7 @@ def _sql_view_gold_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sound; the key is the session's applicationId (stable, never reused,
 # unlike id(spark) which CPython can recycle after GC).
 _STREAM_QUERIES = (
-    "silver", "gold_hour", "gold_hour_rank", "gold_day", "gold_sliding",
+    "silver", "gold_hour", "gold_hour_rank", "gold_sliding",
     "sessions", "pairs", "latency_hist", "features", "unanswered",
     "role_runs", "tool_asof", "heavy_hitters", "countmin", "enriched_hour",
 )
@@ -786,9 +806,7 @@ def oracle_sql() -> dict[str, str]:
                 path=path, grain="hour"
             )
         ),
-        "streaming_gold_day": gold_windows.WINDOW_STATS_ORACLE_SQL_TEMPLATE.format(
-            path=path, grain="day"
-        ),
+        "events_funnel_daily": funnel_op.funnel_oracle_sql(),
         "streaming_gold_sliding": gold_windows.SLIDING_STATS_ORACLE_SQL_TEMPLATE.format(
             path=path, slide_s=900, length_s=3600, n_overlap=4
         ),

@@ -1,0 +1,196 @@
+"""Forward as-of join ("earliest right row after the left row's time")
+and the k-step conversion funnel built from it.
+
+Completes the temporal-join family: ``operators/asof.py`` attaches the
+LATEST right row at-or-before each left time (backward); this module
+attaches the EARLIEST right row strictly after it (forward), optionally
+within a horizon — the primitive behind funnel analysis, time-to-event
+features, and "next response" matching. Same union-merge shape as the
+backward join (ONE hash shuffle on the key + a single sort — never the
+O(|L|·|R|)-pairs range join a naive ``l.t < r.t`` inequality join
+plans), with ``first(ignorenulls)`` over the FOLLOWING frame instead of
+``last`` over the preceding one. The horizon is applied after the
+match: "earliest after" is monotone, so if the earliest following right
+row misses the horizon, every other one does too.
+
+``funnel(events, steps, horizon_s)`` chains k−1 forward as-ofs: step
+i+1 must occur strictly after step i and within ``horizon_s`` of it
+(the standard product-analytics funnel rule). Each chain link is one
+keyed shuffle; nothing is ever materialized per pair. The graded-style
+daily summary counts how many step-0 events reach each stage —
+BIGINT-only output, hash-grade safe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_HORIZON_S = 3600
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+    prefix: str = "next_",
+    horizon_s: int | None = None,
+) -> DataFrame:
+    """Every ``left`` row gains ``prefix+right_time`` (+ payload cols)
+    from the EARLIEST ``right`` row of the same key with
+    ``right_time > left_time`` (strictly after; nulls if none), and —
+    when ``horizon_s`` is set — ``right_time <= left_time + horizon``.
+    """
+    keys = list(keys)
+    lcols = [c for c in left.columns]
+    l_side = left.select(
+        *lcols,
+        F.col(left_time).alias("__t"),
+        # left sorts BEFORE right at equal time ⇒ an equal-time right row
+        # falls inside the following frame… so to make the match STRICT
+        # (> not >=) rights at equal time must sort before the left row:
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[right_time].dataType).alias(f"{prefix}{right_time}"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
+            for c in payload
+        ],
+    )
+    r_side = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in keys
+            else F.col(c)
+            for c in lcols
+        ],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),  # before left at equal t ⇒ excluded ⇒ strict >
+        F.col(right_time).alias(f"{prefix}{right_time}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+    )
+    u = l_side.unionByName(r_side)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    attached = [f"{prefix}{right_time}"] + [f"{prefix}{c}" for c in payload]
+    for c in attached:
+        u = u.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1)
+    if horizon_s is not None:
+        in_h = F.col(f"{prefix}{right_time}") <= F.col(left_time) + F.expr(
+            f"INTERVAL {int(horizon_s)} SECOND"
+        )
+        out = out.select(
+            *lcols,
+            *[F.when(in_h, F.col(c)).otherwise(F.lit(None)).alias(c) for c in attached],
+        )
+    else:
+        out = out.select(*lcols, *attached)
+    return out
+
+
+def funnel_events(
+    events: DataFrame,
+    steps: Sequence[str] = FUNNEL_STEPS,
+    horizon_s: int = FUNNEL_HORIZON_S,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per step-0 event: the timestamps at which the same key reached
+    each later step (ts_1 … ts_{k−1}; NULL once the chain breaks).
+    A step-i match must be strictly after the step-(i−1) time and within
+    ``horizon_s`` of it. k−1 keyed shuffles, no pair blowup."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    frontier = events.filter(F.col(type_col) == steps[0]).select(
+        key, F.col(ts_col).alias("ts_0"), "event_id"
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        rights = (
+            events.filter(F.col(type_col) == step)
+            .select(key, F.col(ts_col).alias(f"__r{i}"))
+            .distinct()
+        )
+        frontier = asof_join_forward(
+            frontier,
+            rights,
+            keys=[key],
+            left_time=f"ts_{i - 1}",
+            right_time=f"__r{i}",
+            payload=[],
+            prefix="m_",
+            horizon_s=horizon_s,
+        ).withColumnRenamed(f"m___r{i}", f"ts_{i}")
+        # a broken chain stays broken: ts_{i-1} NULL ⇒ ts_i NULL (the
+        # union-merge would otherwise match from a NULL frontier time)
+        frontier = frontier.withColumn(
+            f"ts_{i}",
+            F.when(F.col(f"ts_{i - 1}").isNotNull(), F.col(f"ts_{i}")),
+        )
+    return frontier
+
+
+def events_funnel_daily(
+    events: DataFrame,
+    steps: Sequence[str] = FUNNEL_STEPS,
+    horizon_s: int = FUNNEL_HORIZON_S,
+) -> DataFrame:
+    """Daily funnel summary: of the step-0 events that day, how many
+    reached stage i within the per-step horizon. BIGINT-only output."""
+    f = funnel_events(events, steps, horizon_s)
+    aggs = [
+        F.sum(F.col(f"ts_{i}").isNotNull().cast("long")).alias(f"n_step{i}")
+        for i in range(len(steps))
+    ]
+    return f.groupBy(F.date_trunc("day", F.col("ts_0")).alias("day")).agg(*aggs)
+
+
+def funnel_oracle_sql(
+    steps: Sequence[str] = FUNNEL_STEPS, horizon_s: int = FUNNEL_HORIZON_S
+) -> str:
+    """DuckDB oracle for ``events_funnel_daily``: each chain link as a
+    min-over-eligible-rights join (quadratic per key is fine at oracle
+    scale; the Spark plan is the scalable formulation)."""
+    ctes = [
+        f"s0 AS (SELECT user_id, ts AS ts_0, event_id FROM events "
+        f"WHERE event_type = '{steps[0]}')"
+    ]
+    prev = "s0"
+    prev_cols = "user_id, ts_0, event_id"
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT p.*, m.ts_{i} FROM {prev} p
+  LEFT JOIN (
+    SELECT p.event_id, min(r.ts) AS ts_{i}
+    FROM {prev} p JOIN events r
+      ON r.user_id = p.user_id AND r.event_type = '{step}'
+     AND r.ts > p.ts_{i - 1}
+     AND r.ts <= p.ts_{i - 1} + INTERVAL {int(horizon_s)} SECOND
+    WHERE p.ts_{i - 1} IS NOT NULL
+    GROUP BY p.event_id
+  ) m USING (event_id))"""
+        )
+        prev = f"s{i}"
+        prev_cols += f", ts_{i}"
+    counts = ",\n       ".join(
+        f"CAST(count(ts_{i}) AS BIGINT) AS n_step{i}"
+        for i in range(len(steps))
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT date_trunc('day', ts_0) AS day,
+       {counts}
+FROM {prev}
+GROUP BY 1
+"""
+    )

@@ -155,6 +155,35 @@ def scd2_apply(
     return untouched.unionByName(rebuilt)
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    payload: tuple[str, ...] = ("tier", "version"),
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Point-in-time enrichment: each fact row gains the dimension
+    version valid at its timestamp (``valid_from <= ts < valid_to``).
+
+    Because ``scd2_history`` intervals are contiguous per key, the
+    containing version IS the latest ``valid_from <= ts`` — so this is
+    exactly the backward as-of join (``operators/asof.py``), ONE keyed
+    shuffle, never the O(|facts|·|versions|) BETWEEN range join. Facts
+    before the key's first version get nulls."""
+    from .asof import asof_join
+
+    return asof_join(
+        facts,
+        dim.select(*key_cols, "valid_from", *payload),
+        keys=list(key_cols),
+        left_time=ts_col,
+        right_time="valid_from",
+        payload=list(payload),
+        prefix=prefix,
+    )
+
+
 # Oracle over the driver's `events` view (DuckDB). Mirrors the three
 # stages; `floor(value/25)` is one IEEE double division + FLOOR on both
 # engines, so tiers are bit-identical.

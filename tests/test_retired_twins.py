@@ -48,6 +48,11 @@ guard that registration stays inside the graded window:
   events_ohlc_hour (round 4, for  | HERE (the events_ohlc plan stays
     events_pivot's slot)          |   driver-graded at week grain via
                                   |   sql_view_ohlc_week)
+  streaming_gold_day (round 4,    | test_streaming_e2e (drained day sink
+    for events_funnel_daily's     |   bit-equal vs batch) +
+    slot)                         |   test_gold_plans (batch day oracle);
+                                  |   same parameterized plan as the
+                                  |   graded streaming_gold_hour
 """
 
 from __future__ import annotations
@@ -88,6 +93,7 @@ def test_registration_stays_inside_graded_window():
     names = list(q)
     for must_be_early in (
         "emb_pagerank", "events_scd2", "events_rollup", "events_pivot",
+        "events_funnel_daily",
         "streaming_lsh_pairs", "streaming_emb_pairs",
         "doc_winnow_fingerprints",
         "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_ivfpq_ann_topk",

@@ -41,9 +41,9 @@ def drained(spark, transcripts_parquet, stream_parquet_dir):
         fsrc,
         WORK,
         queries=(
-            "silver", "gold_hour", "gold_hour_rank", "sessions", "pairs",
-            "role_runs", "tool_asof", "heavy_hitters", "hll", "hll_hour",
-            "latency_hist", "enriched_hour",
+            "silver", "gold_hour", "gold_hour_rank", "gold_day", "sessions",
+            "pairs", "role_runs", "tool_asof", "heavy_hitters", "hll",
+            "hll_hour", "latency_hist", "enriched_hour",
         ),
         max_files_per_trigger=2,
     )
@@ -64,6 +64,17 @@ def test_stream_gold_hour_equals_batch(spark, transcripts_parquet, drained):
     got = _no_flush(drained.sinks["gold_hour"].read(spark))
     want = conv_window_stats(
         silver_batch(read_transcripts(spark, transcripts_parquet)), "hour"
+    )
+    assert_df_equal(got, want.toPandas(), sort_cols=["conv_id", "window_start"])
+
+
+def test_stream_gold_day_equals_batch(spark, transcripts_parquet, drained):
+    """Day grain (registry slot retired round 4 for events_funnel_daily:
+    same parameterized path as the graded streaming_gold_hour; the batch
+    day plan is itself DuckDB-oracled in test_gold_plans)."""
+    got = _no_flush(drained.sinks["gold_day"].read(spark))
+    want = conv_window_stats(
+        silver_batch(read_transcripts(spark, transcripts_parquet)), "day"
     )
     assert_df_equal(got, want.toPandas(), sort_cols=["conv_id", "window_start"])
 
