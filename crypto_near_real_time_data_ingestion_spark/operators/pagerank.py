@@ -44,6 +44,9 @@ N_ITER = 5
 KNN_K = 5
 
 
+BROADCAST_NODES_MAX = 1_000_000  # rank rows are 16 B — ~16 MB broadcast
+
+
 def pagerank_fixed_point(
     nodes: DataFrame,
     edges: DataFrame,
@@ -55,25 +58,33 @@ def pagerank_fixed_point(
     ``nodes``: one column ``node``; ``edges``: ``src``, ``dst``
     (directed, duplicates allowed — each occurrence carries a share).
     Returns (node, pr) with pr the fixed-point rank at ``scale``.
-    """
+
+    Join strategy: the rank table is node-sized, so below
+    ``BROADCAST_NODES_MAX`` it (and the per-round share sums) broadcast —
+    ONE shuffle per round (the dst partial-sum), the big fan table never
+    moves. Past that, the hints drop away and both joins shuffle on
+    their keys — the 10^9-node web-graph shape. Results are identical
+    either way (integer arithmetic is order-invariant)."""
     n = nodes.count()  # driver scalar: a bounded count, not a collect
     if n == 0:
         raise ValueError("pagerank over an empty node set")
+    small = n <= BROADCAST_NODES_MAX
+    maybe_bc = F.broadcast if small else (lambda df: df)
     tele = (15 * scale) // (100 * n)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # src → (dst, outdeg): resolved once, reused every round
-    fan = edges.join(deg, "src").localCheckpoint(eager=True)
+    fan = edges.join(maybe_bc(deg), "src").localCheckpoint(eager=True)
     ranks = nodes.select(
         "node", F.lit(scale // n).cast("long").alias("r")
     ).localCheckpoint(eager=True)
     for _ in range(n_iter):
-        shares = fan.join(ranks, fan["src"] == ranks["node"]).select(
+        shares = fan.join(maybe_bc(ranks), fan["src"] == ranks["node"]).select(
             F.col("dst"),
             F.expr("(85 * r) div (100 * outdeg)").alias("share"),
         )
         summed = shares.groupBy("dst").agg(F.sum("share").alias("s"))
         nxt = (
-            nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            nodes.join(maybe_bc(summed), nodes["node"] == summed["dst"], "left")
             .select(
                 "node",
                 (F.lit(tele) + F.coalesce(F.col("s"), F.lit(0)))

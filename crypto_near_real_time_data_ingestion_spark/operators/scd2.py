@@ -129,6 +129,29 @@ def scd2_apply(
     rewrite set, and with a key-partitioned dimension layout the
     untouched partitions are not even rewritten on disk)."""
     touched = updates.select(*key_cols).distinct()
+    rebuilt = scd2_rebuild_touched(
+        dim, updates, key_cols=key_cols, ts_col=ts_col,
+        seq_col=seq_col, attr_col=attr_col,
+    )
+    untouched = dim.join(touched, list(key_cols), "left_anti")
+    return untouched.unionByName(rebuilt)
+
+
+def scd2_rebuild_touched(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    attr_col: str = "tier",
+) -> DataFrame:
+    """The rebuilt history of ONLY the update-touched keys (the rows a
+    keyed MERGE sink needs — untouched keys are already in the sink).
+    Under append-only updates a key's version list only extends, so
+    merging these rows over the stored dimension is exact (no stale
+    higher versions can remain). Exposed for the streaming maintenance
+    runner (``streaming/scd2_maintenance.py``)."""
+    touched = updates.select(*key_cols).distinct()
     # stored history → change log: every version row IS a change row at
     # its valid_from. The synthetic seq 0 never decides anything under
     # the append-only contract (update timestamps are strictly later
@@ -142,7 +165,7 @@ def scd2_apply(
             attr_col,
         )
     )
-    rebuilt = scd2_history(
+    return scd2_history(
         affected_old.unionByName(
             updates.select(*key_cols, ts_col, F.col(seq_col).cast("long"), attr_col)
         ),
@@ -151,8 +174,6 @@ def scd2_apply(
         seq_col=seq_col,
         attr_col=attr_col,
     )
-    untouched = dim.join(touched, list(key_cols), "left_anti")
-    return untouched.unionByName(rebuilt)
 
 
 def scd2_lookup(
