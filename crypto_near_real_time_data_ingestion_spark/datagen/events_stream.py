@@ -42,10 +42,23 @@ def build_events_stream_source(
     t = pq.read_table(events_parquet).sort_by(
         [("ts", "ascending"), ("event_id", "ascending")]
     )
+    # chunk boundaries advance to the next DISTINCT ts: equal-ts rows of
+    # one key split across micro-batches would break the SCD2 runner's
+    # append-only contract (the same-ts keep-latest dedup must see both
+    # rows in one batch) — the arrival order must respect event time at
+    # timestamp granularity, not row granularity
+    ts = t["ts"].to_numpy()
     per = -(-t.num_rows // n_chunks)
+    bounds = [0]
+    for i in range(1, n_chunks):
+        b = i * per
+        while 0 < b < t.num_rows and ts[b] == ts[b - 1]:
+            b += 1
+        bounds.append(min(b, t.num_rows))
+    bounds.append(t.num_rows)
     paths = []
     for i in range(n_chunks):
-        chunk = t.slice(i * per, per)
+        chunk = t.slice(bounds[i], bounds[i + 1] - bounds[i])
         if chunk.num_rows:
             p = os.path.join(out_dir, f"part-{i:05d}.parquet")
             pq.write_table(chunk, p)

@@ -173,7 +173,6 @@ def funnel_oracle_sql(
         f"WHERE event_type = '{steps[0]}')"
     ]
     prev = "s0"
-    prev_cols = "user_id, ts_0, event_id"
     for i, step in enumerate(steps[1:], start=1):
         ctes.append(
             f"""s{i} AS (
@@ -189,7 +188,6 @@ def funnel_oracle_sql(
   ) m USING (event_id))"""
         )
         prev = f"s{i}"
-        prev_cols += f", ts_{i}"
     counts = ",\n       ".join(
         f"CAST(count(ts_{i}) AS BIGINT) AS n_step{i}"
         for i in range(len(steps))

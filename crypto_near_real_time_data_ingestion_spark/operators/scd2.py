@@ -131,7 +131,7 @@ def scd2_apply(
     touched = updates.select(*key_cols).distinct()
     rebuilt = scd2_rebuild_touched(
         dim, updates, key_cols=key_cols, ts_col=ts_col,
-        seq_col=seq_col, attr_col=attr_col,
+        seq_col=seq_col, attr_col=attr_col, touched=touched,
     )
     untouched = dim.join(touched, list(key_cols), "left_anti")
     return untouched.unionByName(rebuilt)
@@ -144,14 +144,18 @@ def scd2_rebuild_touched(
     ts_col: str = "ts",
     seq_col: str = "event_id",
     attr_col: str = "tier",
+    touched: DataFrame | None = None,
 ) -> DataFrame:
     """The rebuilt history of ONLY the update-touched keys (the rows a
     keyed MERGE sink needs — untouched keys are already in the sink).
     Under append-only updates a key's version list only extends, so
     merging these rows over the stored dimension is exact (no stale
     higher versions can remain). Exposed for the streaming maintenance
-    runner (``streaming/scd2_maintenance.py``)."""
-    touched = updates.select(*key_cols).distinct()
+    runner (``streaming/scd2_maintenance.py``). ``touched`` lets a
+    caller that already distinct'd the update keys pass the frame in
+    instead of paying the aggregation twice."""
+    if touched is None:
+        touched = updates.select(*key_cols).distinct()
     # stored history → change log: every version row IS a change row at
     # its valid_from. The synthetic seq 0 never decides anything under
     # the append-only contract (update timestamps are strictly later

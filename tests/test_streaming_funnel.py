@@ -24,6 +24,14 @@ from crypto_near_real_time_data_ingestion_spark.streaming.stateful_funnel import
 WORK = "/tmp/spark_graft_test_funnel_stream"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_work():
+    """A stale drain from a previous pytest session must never serve the
+    rerun test (it would replay a checkpoint produced by older code)."""
+    shutil.rmtree(WORK, ignore_errors=True)
+    yield
+
+
 def _build_source(out_dir: str, n_chunks: int) -> str:
     return build_events_stream_source(
         f"{SF_DIR}/events.parquet", out_dir, n_chunks, sentinel=True
