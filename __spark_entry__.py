@@ -186,7 +186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the graded streaming_gold_hour; drained day sink bit-equal-pinned vs
     batch in test_streaming_e2e::test_stream_gold_day_equals_batch, batch
     day plan DuckDB-oracled in test_gold_plans — it also leaves the
-    shared drain, which pytest now covers in its own drain)."""
+    shared drain, which pytest now covers in its own drain),
+    events_unpivot (round 4, for streaming_funnel's slot: the wide→long
+    melt stays oracle-pinned in
+    test_retired_twins::test_events_unpivot_oracle and its inverse
+    events_pivot is driver-graded)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def _silver(spark, sf_dir):
@@ -216,6 +220,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_funnel_daily"] = lambda s, d: funnel_op.events_funnel_daily(
         eg.read_events(s, d)
     )
+    # STREAMING k-step funnel (streaming/stateful_funnel.py): anchors as
+    # keyed state over the watermarked ts-ordered events stream, drained
+    # through the exactly-once MERGE sink; emits exactly the batch
+    # funnel's per-anchor rows, so the same generated oracle applies.
+    # Takes events_unpivot's slot (melt stays pytest-oracled; its
+    # inverse events_pivot is driver-graded above).
+    q["streaming_funnel"] = _run_streaming_funnel
     # streaming incremental LSH dedup (round 4): the stateful LSH index
     # fed the corpus as an arrival-ordered stream emits exactly the
     # batch minhash_lsh_pairs result, so it answers the SAME exact
@@ -401,8 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_asof_ohlc"] = lambda s, d: asof_op.events_asof_ohlc(
         eg.read_events(s, d)
     )
-    # wide→long melt (unpivot/stack)
-    q["events_unpivot"] = lambda s, d: eg.events_unpivot(eg.read_events(s, d))
+    # (events_unpivot retired round 4 for streaming_funnel's slot: the
+    # wide→long melt stays oracle-pinned in test_retired_twins and its
+    # inverse events_pivot is driver-graded)
 
     # --- training-data pipeline: documents / embeddings --------------------
     q["doc_exact_dedup"] = lambda s, d: dg.doc_exact_dedup(dg.read_documents(s, d))
@@ -642,6 +654,43 @@ def _run_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("doc_id_1", "doc_id_2", "jaccard")
 
 
+def _run_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming k-step funnel over the events table fed as a ts-ordered
+    stream (streaming/stateful_funnel.py): anchors live as keyed state
+    and resolve exactly once (converted, or dead at the watermark
+    horizon). Bit-equal to the batch chained-forward-as-of funnel
+    (tests/test_streaming_funnel.py), so it answers the same generated
+    oracle. Own drain + cache, same isolation rationale as the LSH
+    entry."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crypto_near_real_time_data_ingestion_spark.datagen.events_stream import (
+        build_events_stream_source,
+    )
+    from crypto_near_real_time_data_ingestion_spark.streaming.stateful_funnel import (
+        run_funnel_to_completion,
+    )
+
+    sf = sf_from_dir(sf_dir)
+    key = (spark.sparkContext.applicationId, sf, "funnel")
+    sink = _stream_cache.get(key)
+    if sink is None:
+        src = build_events_stream_source(
+            os.path.join(sf_dir, "events.parquet"),
+            f"{_fast_tmp()}/spark_graft_entry_funnel_src_{sf}",
+            n_chunks=4,
+        )
+        work = f"{_fast_tmp()}/spark_graft_entry_funnel_{sf}"
+        shutil.rmtree(work, ignore_errors=True)
+        sink = run_funnel_to_completion(spark, src, work, shuffle_partitions=8)
+        _stream_cache[key] = sink
+    return sink.read(spark).filter(F.col("event_id") >= 0).select(
+        "user_id", "event_id", "ts_0", "ts_1", "ts_2"
+    )
+
+
 def _run_streaming_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact embedding near-dup over the embeddings table fed
     as a 4-chunk arrival-ordered stream (streaming/stateful_emb.py): the
@@ -788,7 +837,10 @@ def oracle_sql() -> dict[str, str]:
         "events_props_parse": eg.EVENTS_PROPS_ORACLE_SQL,
         "events_json_entities": eg.EVENTS_JSON_ENTITIES_ORACLE_SQL,
         "events_asof_ohlc": asof_op.EVENTS_ASOF_OHLC_ORACLE_SQL,
-        "events_unpivot": eg.EVENTS_UNPIVOT_ORACLE_SQL,
+        # the drained streaming funnel emits the batch funnel's
+        # per-anchor rows (bit-equal, test_streaming_funnel.py), so the
+        # generated chain oracle transfers
+        "streaming_funnel": funnel_op.funnel_rows_oracle_sql(),
         "gold_tool_bursts": patterns.ROLE_RUNS_ORACLE_SQL_TEMPLATE.format(
             path=path, role="tool", min_run=2
         ),

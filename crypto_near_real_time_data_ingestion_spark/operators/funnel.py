@@ -162,12 +162,11 @@ def events_funnel_daily(
     return f.groupBy(F.date_trunc("day", F.col("ts_0")).alias("day")).agg(*aggs)
 
 
-def funnel_oracle_sql(
-    steps: Sequence[str] = FUNNEL_STEPS, horizon_s: int = FUNNEL_HORIZON_S
-) -> str:
-    """DuckDB oracle for ``events_funnel_daily``: each chain link as a
+def _funnel_ctes(steps: Sequence[str], horizon_s: int) -> tuple[str, str]:
+    """The shared chain of per-anchor CTEs: each link is a
     min-over-eligible-rights join (quadratic per key is fine at oracle
-    scale; the Spark plan is the scalable formulation)."""
+    scale; the Spark plan is the scalable formulation). Returns
+    (cte_sql, final_cte_name)."""
     ctes = [
         f"s0 AS (SELECT user_id, ts AS ts_0, event_id FROM events "
         f"WHERE event_type = '{steps[0]}')"
@@ -188,15 +187,34 @@ def funnel_oracle_sql(
   ) m USING (event_id))"""
         )
         prev = f"s{i}"
+    return "WITH " + ",\n".join(ctes), prev
+
+
+def funnel_rows_oracle_sql(
+    steps: Sequence[str] = FUNNEL_STEPS, horizon_s: int = FUNNEL_HORIZON_S
+) -> str:
+    """DuckDB oracle for the per-anchor funnel rows (``funnel_events``
+    and the drained ``streaming/stateful_funnel`` sink)."""
+    ctes, last = _funnel_ctes(steps, horizon_s)
+    cols = ", ".join(f"ts_{i}" for i in range(len(steps)))
+    return f"{ctes}\nSELECT user_id, event_id, {cols} FROM {last}\n"
+
+
+def funnel_oracle_sql(
+    steps: Sequence[str] = FUNNEL_STEPS, horizon_s: int = FUNNEL_HORIZON_S
+) -> str:
+    """DuckDB oracle for ``events_funnel_daily``."""
+    ctes, last = _funnel_ctes(steps, horizon_s)
     counts = ",\n       ".join(
         f"CAST(count(ts_{i}) AS BIGINT) AS n_step{i}"
         for i in range(len(steps))
     )
     return (
-        "WITH " + ",\n".join(ctes) + f"""
+        ctes
+        + f"""
 SELECT date_trunc('day', ts_0) AS day,
        {counts}
-FROM {prev}
+FROM {last}
 GROUP BY 1
 """
     )

@@ -52,12 +52,21 @@ def pagerank_fixed_point(
     edges: DataFrame,
     n_iter: int = N_ITER,
     scale: int = SCALE,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank (see module doc).
 
     ``nodes``: one column ``node``; ``edges``: ``src``, ``dst``
     (directed, duplicates allowed — each occurrence carries a share).
     Returns (node, pr) with pr the fixed-point rank at ``scale``.
+
+    ``seeds`` (one column ``node``, a subset of nodes) switches the
+    teleport to the personalized/TrustRank form: restart mass lands
+    ONLY on seeds (split evenly, integer floor), and r₀ is uniform over
+    seeds instead of all nodes — trust propagates outward from a vetted
+    set through the link structure, the Gyöngyi et al. TrustRank recipe
+    a curation pipeline uses to score documents by proximity to a
+    hand-vetted seed corpus. Same exact-regime guarantees.
 
     Join strategy: the rank table is node-sized, so below
     ``BROADCAST_NODES_MAX`` it (and the per-round share sums) broadcast —
@@ -70,13 +79,42 @@ def pagerank_fixed_point(
         raise ValueError("pagerank over an empty node set")
     small = n <= BROADCAST_NODES_MAX
     maybe_bc = F.broadcast if small else (lambda df: df)
-    tele = (15 * scale) // (100 * n)
+    if seeds is None:
+        base = nodes.select(
+            "node",
+            F.lit((15 * scale) // (100 * n)).cast("long").alias("tele"),
+            F.lit(scale // n).cast("long").alias("r0"),
+        )
+    else:
+        n_seed = seeds.count()
+        if n_seed == 0:
+            raise ValueError("trustrank with an empty seed set")
+        is_seed = F.col("__seed").isNotNull()
+        base = (
+            nodes.join(
+                maybe_bc(seeds.select(F.col("node").alias("__seed"))),
+                nodes["node"] == F.col("__seed"),
+                "left",
+            )
+            .select(
+                "node",
+                F.when(is_seed, F.lit((15 * scale) // (100 * n_seed)))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("tele"),
+                F.when(is_seed, F.lit(scale // n_seed))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("r0"),
+            )
+        )
+    base = base.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # src → (dst, outdeg): resolved once, reused every round
     fan = edges.join(maybe_bc(deg), "src").localCheckpoint(eager=True)
-    ranks = nodes.select(
-        "node", F.lit(scale // n).cast("long").alias("r")
-    ).localCheckpoint(eager=True)
+    ranks = base.select("node", F.col("r0").alias("r")).localCheckpoint(
+        eager=True
+    )
     for _ in range(n_iter):
         shares = fan.join(maybe_bc(ranks), fan["src"] == ranks["node"]).select(
             F.col("dst"),
@@ -84,10 +122,10 @@ def pagerank_fixed_point(
         )
         summed = shares.groupBy("dst").agg(F.sum("share").alias("s"))
         nxt = (
-            nodes.join(maybe_bc(summed), nodes["node"] == summed["dst"], "left")
+            base.join(maybe_bc(summed), base["node"] == summed["dst"], "left")
             .select(
                 "node",
-                (F.lit(tele) + F.coalesce(F.col("s"), F.lit(0)))
+                (F.col("tele") + F.coalesce(F.col("s"), F.lit(0)))
                 .cast("long")
                 .alias("r"),
             )
@@ -115,6 +153,76 @@ def emb_knn_pagerank(
     nodes = emb.select(F.col("vec_id").alias("node"))
     pr = pagerank_fixed_point(nodes, edges, n_iter=n_iter)
     return pr.select(F.col("node").alias("vec_id"), F.col("r").alias("pr"))
+
+
+def emb_knn_trustrank(
+    emb: DataFrame,
+    seed_max_id: int,
+    k: int = KNN_K,
+    n_iter: int = N_ITER,
+) -> DataFrame:
+    """TrustRank over the exact cosine k-NN graph: restart mass lands
+    only on the vetted seed set (here the deterministic ``vec_id <
+    seed_max_id`` slice — in production, the hand-curated corpus). The
+    score is the integer fixed-point trust mass reaching each document
+    through similarity links — the curation signal for "how close is
+    this sample to the vetted set", with the same chained-CTE oracle
+    shape as the uniform PageRank."""
+    from . import ann
+
+    edges = ann.broadcast_cosine_topk(emb, k=k).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    seeds = nodes.filter(F.col("node") < seed_max_id)
+    pr = pagerank_fixed_point(nodes, edges, n_iter=n_iter, seeds=seeds)
+    return pr.select(F.col("node").alias("vec_id"), F.col("r").alias("trust"))
+
+
+def emb_knn_trustrank_oracle_sql(
+    seed_max_id: int,
+    k: int = KNN_K,
+    n_iter: int = N_ITER,
+    table: str = "embeddings",
+    scale: int = SCALE,
+) -> str:
+    """DuckDB oracle for ``emb_knn_trustrank`` — the PageRank chain with
+    the teleport/init terms gated on seed membership."""
+    from ..plans.documents_gold import EMB_TOPK_ORACLE_SQL_TEMPLATE
+
+    topk = EMB_TOPK_ORACLE_SQL_TEMPLATE.format(k=k, table=table).strip()
+    tele = (
+        f"CASE WHEN n.node < {seed_max_id} "
+        f"THEN (15 * {scale}) // (100 * (SELECT c FROM ns)) ELSE 0 END"
+    )
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(
+            f"""it{i} AS (
+  SELECT n.node, CAST({tele} + COALESCE(s.total, 0) AS BIGINT) AS r
+  FROM (SELECT vec_id AS node FROM {table}) n
+  LEFT JOIN (SELECT e.dst AS node,
+                    SUM((85 * p.r) // (100 * d.outdeg)) AS total
+             FROM edges e
+             JOIN it{i - 1} p ON p.node = e.src
+             JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) s USING (node))"""
+        )
+    chain = ",\n".join(iters)
+    return f"""
+WITH topk AS ({topk}),
+edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM topk),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS c FROM {table}
+       WHERE vec_id < {seed_max_id}),
+it0 AS (SELECT vec_id AS node,
+               CAST(CASE WHEN vec_id < {seed_max_id}
+                    THEN {scale} // (SELECT c FROM ns) ELSE 0 END
+                    AS BIGINT) AS r
+        FROM {table}),
+{chain}
+SELECT node AS vec_id, r AS trust FROM it{n_iter}
+"""
 
 
 def emb_knn_pagerank_oracle_sql(

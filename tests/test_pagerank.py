@@ -67,3 +67,38 @@ def test_empty_nodes_raise(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="empty node set"):
         pagerank.pagerank_fixed_point(nodes, edges)
+
+
+SEED_MAX = 50  # vec_id < 50 → the vetted seed slice
+
+
+def test_emb_knn_trustrank_oracle(spark):
+    """Seed-restricted teleport (TrustRank) vs the gated chained-CTE
+    DuckDB oracle — exact integer regime, like the uniform PageRank."""
+    got = pagerank.emb_knn_trustrank(_emb(spark), SEED_MAX)
+    want = duck_sql(pagerank.emb_knn_trustrank_oracle_sql(SEED_MAX))
+    assert_df_equal(got, want, sort_cols=["vec_id"])
+
+
+def test_trustrank_mass_flows_from_seeds(spark):
+    """Trust semantics: seeds hold at least the teleport floor, total
+    mass is bounded by SCALE, and unreachable non-seeds score zero
+    while seed-adjacent nodes score positive."""
+    emb = _emb(spark)
+    tr = pagerank.emb_knn_trustrank(emb, SEED_MAX).toPandas()
+    n_seed = int((tr.vec_id < SEED_MAX).sum())
+    tele = (15 * pagerank.SCALE) // (100 * n_seed)
+    seeds = tr[tr.vec_id < SEED_MAX]
+    assert (seeds.trust >= tele).all()
+    assert int(tr.trust.sum()) <= pagerank.SCALE
+    non_seed = tr[tr.vec_id >= SEED_MAX]
+    # on the k-NN graph some non-seeds receive trust, and (unlike the
+    # uniform PageRank) trust is NOT guaranteed everywhere
+    assert (non_seed.trust > 0).any()
+    assert int(non_seed.trust.min()) == 0 or len(non_seed) == 0
+
+
+def test_trustrank_empty_seeds_raise(spark):
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="empty seed set"):
+        pagerank.emb_knn_trustrank(emb, -1)

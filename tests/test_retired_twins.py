@@ -53,6 +53,8 @@ guard that registration stays inside the graded window:
     slot)                         |   test_gold_plans (batch day oracle);
                                   |   same parameterized plan as the
                                   |   graded streaming_gold_hour
+  events_unpivot (round 4, for    | HERE (melt oracle; the inverse
+    streaming_funnel's slot)      |   events_pivot is driver-graded)
 """
 
 from __future__ import annotations
@@ -93,13 +95,13 @@ def test_registration_stays_inside_graded_window():
     names = list(q)
     for must_be_early in (
         "emb_pagerank", "events_scd2", "events_rollup", "events_pivot",
-        "events_funnel_daily",
+        "events_funnel_daily", "streaming_funnel",
         "streaming_lsh_pairs", "streaming_emb_pairs",
         "doc_winnow_fingerprints",
         "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_ivfpq_ann_topk",
         "media_features", "streaming_latency_hist", "streaming_rank",
     ):
-        assert names.index(must_be_early) < 15
+        assert names.index(must_be_early) < 16
 
 
 def test_media_metadata_oracle(spark):
@@ -180,3 +182,14 @@ def test_events_ohlc_hour_oracle(spark):
     got = eg.events_ohlc(spark.read.parquet(f"{SF_DIR}/events.parquet"), "hour")
     want = duck_sql(eg.OHLC_ORACLE_SQL_TEMPLATE.format(grain="hour"))
     assert_df_equal(got, want, sort_cols=["user_id", "period"])
+
+
+def test_events_unpivot_oracle(spark):
+    """Wide→long melt, retired round 4 (streaming_funnel's slot): the
+    inverse pivot is driver-graded; the melt stays oracle-pinned here."""
+    from conftest import SF_DIR, duck_sql
+    from crypto_near_real_time_data_ingestion_spark.plans import events_gold as eg
+
+    got = eg.events_unpivot(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    want = duck_sql(eg.EVENTS_UNPIVOT_ORACLE_SQL)
+    assert_df_equal(got, want, sort_cols=["minute", "metric"])
