@@ -677,12 +677,18 @@ def _run_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf, "funnel")
     sink = _stream_cache.get(key)
     if sink is None:
+        # pid-suffixed dirs: build_events_stream_source rebuilds
+        # unconditionally (rmtree — no meta-sidecar cache or lock), so a
+        # shared path would let concurrent processes (bench + pytest)
+        # clobber each other mid-drain; the source is 10k rows, cheap to
+        # build per process
+        pid = os.getpid()
         src = build_events_stream_source(
             os.path.join(sf_dir, "events.parquet"),
-            f"{_fast_tmp()}/spark_graft_entry_funnel_src_{sf}",
+            f"{_fast_tmp()}/spark_graft_entry_funnel_src_{sf}_{pid}",
             n_chunks=4,
         )
-        work = f"{_fast_tmp()}/spark_graft_entry_funnel_{sf}"
+        work = f"{_fast_tmp()}/spark_graft_entry_funnel_{sf}_{pid}"
         shutil.rmtree(work, ignore_errors=True)
         sink = run_funnel_to_completion(spark, src, work, shuffle_partitions=8)
         _stream_cache[key] = sink
