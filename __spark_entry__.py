@@ -681,14 +681,18 @@ def _run_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unconditionally (rmtree — no meta-sidecar cache or lock), so a
         # shared path would let concurrent processes (bench + pytest)
         # clobber each other mid-drain; the source is 10k rows, cheap to
-        # build per process
+        # build per process. /dev/shm is RAM — reclaim at process exit
+        # (atexit, not finally: the sink stays readable for later calls).
+        import atexit
+
         pid = os.getpid()
-        src = build_events_stream_source(
-            os.path.join(sf_dir, "events.parquet"),
-            f"{_fast_tmp()}/spark_graft_entry_funnel_src_{sf}_{pid}",
-            n_chunks=4,
-        )
+        src_dir = f"{_fast_tmp()}/spark_graft_entry_funnel_src_{sf}_{pid}"
         work = f"{_fast_tmp()}/spark_graft_entry_funnel_{sf}_{pid}"
+        for d in (src_dir, work):
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+        src = build_events_stream_source(
+            os.path.join(sf_dir, "events.parquet"), src_dir, n_chunks=4
+        )
         shutil.rmtree(work, ignore_errors=True)
         sink = run_funnel_to_completion(spark, src, work, shuffle_partitions=8)
         _stream_cache[key] = sink

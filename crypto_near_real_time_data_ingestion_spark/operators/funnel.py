@@ -92,16 +92,24 @@ def asof_join_forward(
     for c in attached:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
     out = u.filter(F.col("__side") == 0)
+    # a NULL left_time must attach nothing: NULL __t sorts LAST under
+    # desc ordering, so its growing frame spans every row and the merge
+    # would attach the globally earliest right row — gate on non-null
+    nn_left = F.col(left_time).isNotNull()
     if horizon_s is not None:
-        in_h = F.col(f"{prefix}{right_time}") <= F.col(left_time) + F.expr(
-            f"INTERVAL {int(horizon_s)} SECOND"
+        in_h = nn_left & (
+            F.col(f"{prefix}{right_time}")
+            <= F.col(left_time) + F.expr(f"INTERVAL {int(horizon_s)} SECOND")
         )
         out = out.select(
             *lcols,
             *[F.when(in_h, F.col(c)).otherwise(F.lit(None)).alias(c) for c in attached],
         )
     else:
-        out = out.select(*lcols, *attached)
+        out = out.select(
+            *lcols,
+            *[F.when(nn_left, F.col(c)).alias(c) for c in attached],
+        )
     return out
 
 

@@ -43,6 +43,10 @@ file-listing trick.
 
 from __future__ import annotations
 
+import bisect
+import glob
+import os
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -54,6 +58,27 @@ SCHEMA_DDL = (
     "conv_id string, turn_idx int, role string, text string, "
     "tool string, ts timestamp"
 )
+
+
+def _ordered_log(path: str) -> list[tuple[str, int]]:
+    """Resolve ``path`` (a parquet file or a directory of them) to the
+    arrival-ordered log: [(file, n_rows), …]. Directory order is
+    (mtime, name) — the same order the file stream source with
+    ``latestFirst=false`` processes, and the order the flushed-source
+    builder encodes in its mtimes — so a drain through this source sees
+    the identical arrival sequence."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "*.parquet")),
+            key=lambda f: (os.stat(f).st_mtime_ns, f),
+        )
+        if not files:
+            raise ValueError(f"no *.parquet files under {path}")
+    else:
+        files = [path]
+    return [(f, pq.ParquetFile(f).metadata.num_rows) for f in files]
 
 
 class _RangePartition(InputPartition):

@@ -15,9 +15,12 @@ and within ``horizon_s`` of it becomes watermark-definite. An anchor
 resolves exactly once:
 
   * CONVERTED — it reaches the last step (emitted with all step times);
-  * DEAD — the watermark passes ``frontier + horizon`` with no match
-    (emitted with NULLs from the first missed step), which is definitive
-    because any still-unseen event has ``ts > watermark``.
+  * DEAD — the watermark passes STRICTLY beyond ``frontier + horizon``
+    with no match (emitted with NULLs from the first missed step), which
+    is definitive because any still-unseen event has ``ts >= watermark``
+    — Spark drops late rows only when event-time is strictly below the
+    watermark, so ``ts == watermark`` rows may still arrive and both the
+    definite cutoff and the dead test must treat them as pending.
 
 The matcher is vectorized per level: one ``np.searchsorted`` of all
 candidate frontiers into the window's sorted per-type time array — the
@@ -95,7 +98,10 @@ def _funnel_step(
     type_a = np.asarray(buf_type, dtype=object)
     order = np.lexsort((eid_a, ts_a))
     ts_a, eid_a, type_a = ts_a[order], eid_a[order], type_a[order]
-    n_emit = int(np.searchsorted(ts_a, wm_us, side="right"))
+    # definite = strictly below the watermark (side='left'): Spark only
+    # guarantees rows with ts < wm can no longer arrive; a ts == wm row
+    # may still show up and must not be matched/declared-dead against
+    n_emit = int(np.searchsorted(ts_a, wm_us, side="left"))
     w_ts, w_eid, w_type = ts_a[:n_emit], eid_a[:n_emit], type_a[:n_emit]
 
     # anchors: carried + the window's step-0 events (ts-ordered, so the
@@ -137,7 +143,7 @@ def _funnel_step(
         tsm[hit, i] = mts
 
     converted = lvl == k - 1
-    dead = ~converted & (frontier + horizon_us <= wm_us)
+    dead = ~converted & (frontier + horizon_us < wm_us)
     out = [
         (int(eid[i]), *[int(t) for t in tsm[i]])
         for i in np.flatnonzero(converted | dead)

@@ -106,6 +106,29 @@ def test_forward_asof_matches_backward_shape(spark):
     assert pd.isna(out.loc[2, "next_rts"])
 
 
+def test_forward_asof_null_left_time_attaches_nothing(spark):
+    """A NULL left_time row must gain NULLs, with or without a horizon:
+    NULL __t sorts last under desc ordering so its growing frame spans
+    everything — ungated it would attach the globally earliest right."""
+    left = _mini_events(spark, [(1, 1, "x", _t(10)), (2, 1, "x", None)]).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    right = _mini_events(
+        spark, [(3, 1, "y", _t(20)), (4, 1, "y", _t(30))]
+    ).select("user_id", F.col("ts").alias("rts"))
+    for horizon in (None, 3600 * 24):
+        out = (
+            funnel.asof_join_forward(
+                left, right, keys=["user_id"], left_time="ts",
+                right_time="rts", payload=[], horizon_s=horizon,
+            )
+            .toPandas()
+            .set_index("event_id")
+        )
+        assert out.loc[1, "next_rts"] == _t(20), horizon
+        assert pd.isna(out.loc[2, "next_rts"]), horizon
+
+
 def test_funnel_needs_two_steps(spark):
     with pytest.raises(ValueError, match="at least two steps"):
         funnel.funnel_events(_events(spark), steps=("view",))

@@ -112,3 +112,54 @@ def test_kernel_matches_brute_force_at_any_batching(events, cuts):
     feed([], 10**9)  # flush: watermark far past all data and horizons
 
     assert emitted == _brute_funnel(ordered)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    events=events_strategy,
+    cuts=st.lists(st.integers(min_value=0, max_value=30), max_size=4),
+)
+def test_kernel_matches_brute_force_with_watermark_ties(events, cuts):
+    """Split the ts-ordered stream at arbitrary ROW indexes — a cut can
+    land mid-timestamp-group, so a later batch delivers rows with ts
+    EQUAL to an earlier batch's watermark (legal in Spark: only ts
+    strictly below the watermark is dropped). The kernel must treat
+    ts == wm rows as pending (definite cutoff side='left', strict dead
+    test) or it mis-declares anchors dead / matches them too early."""
+    ordered = sorted(events, key=lambda e: (e[0], e[1]))
+    idxs = sorted({c for c in cuts if c <= len(ordered)})
+    batches, prev = [], 0
+    for i in idxs:
+        batches.append(ordered[prev:i])
+        prev = i
+    batches.append(ordered[prev:])
+
+    st_tuple = _EMPTY
+    emitted: dict[int, tuple] = {}
+
+    def feed(batch_rows, wm):
+        nonlocal st_tuple
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([ts for ts, _, _ in batch_rows], unit="us"),
+                "event_id": [eid for _, eid, _ in batch_rows],
+                "event_type": [ty for _, _, ty in batch_rows],
+            }
+        )
+        out, new_state, _timer = _funnel_step(
+            iter([pdf]), st_tuple, wm, STEPS, H
+        )
+        for row in out:
+            assert row[0] not in emitted, "anchor resolved twice"
+            emitted[row[0]] = tuple(row[1:])
+        st_tuple = new_state if new_state is not None else _EMPTY
+
+    wm = 0
+    for batch in batches:
+        # watermark = max delivered ts; rows with that exact ts may
+        # still arrive in the NEXT batch (sequential row-index cuts)
+        wm = max(max((ts for ts, _, _ in batch), default=wm), wm)
+        feed(batch, wm)
+    feed([], 10**9)
+
+    assert emitted == _brute_funnel(ordered)
