@@ -53,6 +53,7 @@ def pagerank_fixed_point(
     n_iter: int = N_ITER,
     scale: int = SCALE,
     seeds: DataFrame | None = None,
+    broadcast_nodes_max: int = BROADCAST_NODES_MAX,
 ) -> DataFrame:
     """Integer fixed-point PageRank (see module doc).
 
@@ -69,15 +70,18 @@ def pagerank_fixed_point(
     hand-vetted seed corpus. Same exact-regime guarantees.
 
     Join strategy: the rank table is node-sized, so below
-    ``BROADCAST_NODES_MAX`` it (and the per-round share sums) broadcast —
-    ONE shuffle per round (the dst partial-sum), the big fan table never
-    moves. Past that, the hints drop away and both joins shuffle on
-    their keys — the 10^9-node web-graph shape. Results are identical
-    either way (integer arithmetic is order-invariant)."""
+    ``broadcast_nodes_max`` (default ``BROADCAST_NODES_MAX``) it (and
+    the per-round share sums) broadcast — ONE shuffle per round (the
+    dst partial-sum), the big fan table never moves. Past that, the
+    hints drop away and both joins shuffle on their keys — the
+    10^9-node web-graph shape. Results are identical either way
+    (integer arithmetic is order-invariant; pinned bit-equal by
+    ``test_pagerank.py::test_shuffle_branch_bit_equals_broadcast``,
+    which forces the threshold to 0)."""
     n = nodes.count()  # driver scalar: a bounded count, not a collect
     if n == 0:
         raise ValueError("pagerank over an empty node set")
-    small = n <= BROADCAST_NODES_MAX
+    small = n <= broadcast_nodes_max
     maybe_bc = F.broadcast if small else (lambda df: df)
     if seeds is None:
         base = nodes.select(

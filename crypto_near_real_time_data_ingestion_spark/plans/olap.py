@@ -95,22 +95,52 @@ EVENTS_CUBE_ORACLE_SQL = EVENTS_ROLLUP_ORACLE_SQL.replace(
 )
 
 
-def events_pivot(events: DataFrame) -> DataFrame:
+def events_pivot(events: DataFrame, strict: str = "ignore") -> DataFrame:
     """Daily long→wide: one BIGINT count column per event type.
 
     ``coalesce(…, 0)``: Spark pivot emits NULL for absent (day, type)
     combinations while a conditional-aggregation formulation (the oracle,
     and any pre-pivoted gold table) emits 0 — normalize to the dense
-    form, which is what a downstream feature matrix wants anyway."""
-    wide = (
-        _with_day(events)
-        .groupBy("day")
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-    )
-    return wide.select(
-        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
-    )
+    form, which is what a downstream feature matrix wants anyway.
+
+    ``strict``: what to do with rows whose ``event_type`` is OUTSIDE the
+    pinned vocabulary — a pinned-list pivot silently drops them, which
+    at 100 TB is a data-quality bug that surfaces as column drift weeks
+    later. Off-vocabulary counting rides the SAME single aggregation
+    pass (one extra conditional-count column — no second job, no
+    distinct scan):
+
+    - ``"ignore"`` (default): the pinned-list fast path, drop silently.
+    - ``"error"``: raise ``ValueError`` if any off-vocabulary row
+      exists (count materialized from the one aggregate pass).
+    - ``"other"``: emit an ``__other`` BIGINT column holding the
+      off-vocabulary count per day.
+    """
+    if strict not in ("ignore", "error", "other"):
+        raise ValueError(f"strict must be ignore|error|other, got {strict!r}")
+    # NULL event_type is off-vocabulary too (isin yields NULL for NULL —
+    # a bare ~isin would silently skip those rows in the count)
+    in_vocab = F.coalesce(F.col("event_type").isin(*EVENT_TYPES), F.lit(False))
+    agg_cols = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+        for t in EVENT_TYPES
+    ]
+    if strict != "ignore":
+        agg_cols.append(F.count(F.when(~in_vocab, 1)).alias("__other"))
+    # conditional aggregation, not .pivot(): same single-pass plan shape
+    # (partial count per group map-side), pinned output schema, and the
+    # off-vocabulary column shares the pass instead of needing a second
+    # scan. .pivot(col, values) compiles to exactly this form anyway.
+    wide = _with_day(events).groupBy("day").agg(*agg_cols)
+    if strict == "error":
+        bad = wide.agg(F.sum("__other")).first()[0] or 0
+        if bad:
+            raise ValueError(
+                f"events_pivot(strict='error'): {bad} rows carry an "
+                f"event_type outside the pinned vocabulary {EVENT_TYPES}"
+            )
+        wide = wide.drop("__other")
+    return wide
 
 
 EVENTS_PIVOT_ORACLE_SQL = """

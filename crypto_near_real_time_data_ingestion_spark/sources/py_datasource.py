@@ -120,7 +120,16 @@ class SynthTranscriptsDataSource(DataSource):
     """``spark.dataSource.register(SynthTranscriptsDataSource)`` then
     ``spark.readStream.format("synth_transcripts").option("sf", "0.001")
     .option("rowsPerBatch", "500").load()``. Batch reads (``spark.read``)
-    are supported too (full log, range-partitioned)."""
+    are supported too (full log, range-partitioned).
+
+    Backing log: ``option("path", …)`` points at any parquet file or
+    directory of them (e.g. the flushed drain source) — this is how the
+    graded streaming drain runs through the registered source; without
+    it the synthetic log for ``option("sf", …)`` is generated on demand.
+    Rate control: ``rowsPerBatch`` (row-granular) or ``filesPerBatch``
+    (micro-batch boundaries at arrival-order file boundaries — the
+    ``maxFilesPerTrigger`` analog, so a drain through this source sees
+    the same batch structure as the file-source stand-in)."""
 
     @classmethod
     def name(cls) -> str:
@@ -129,52 +138,84 @@ class SynthTranscriptsDataSource(DataSource):
     def schema(self) -> str:
         return SCHEMA_DDL
 
-    def _path_and_rows(self) -> tuple[str, int]:
-        import pyarrow.parquet as pq
+    def _log(self) -> list[tuple[str, int]]:
+        path = self.options.get("path")
+        if path is None:
+            from ..datagen import ensure_transcripts
 
-        from ..datagen import ensure_transcripts
-
-        sf = float(self.options.get("sf", "0.001"))
-        path = ensure_transcripts(sf)
-        return path, pq.ParquetFile(path).metadata.num_rows
+            path = ensure_transcripts(float(self.options.get("sf", "0.001")))
+        return _ordered_log(path)
 
     def reader(self, schema) -> DataSourceReader:
-        path, n = self._path_and_rows()
         return _SynthBatchReader(
-            path, n, int(self.options.get("numpartitions", "4"))
+            self._log(), int(self.options.get("numpartitions", "4"))
         )
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        path, n = self._path_and_rows()
+        fpb = self.options.get("filesperbatch")
         return _SynthStreamReader(
-            path,
-            n,
+            self._log(),
             rows_per_batch=int(self.options.get("rowsperbatch", "500")),
             n_parts=int(self.options.get("numpartitions", "4")),
+            files_per_batch=int(fpb) if fpb is not None else None,
         )
 
 
+def _range_partitions(log, s, e, step):
+    """Global row range [s, e) → per-file _RangePartitions of ≤ step
+    rows (LOCAL offsets; a stride crossing a file boundary splits)."""
+    out, file_lo = [], 0
+    for path, n in log:
+        file_hi = file_lo + n
+        lo = max(s, file_lo)
+        while lo < min(e, file_hi):
+            hi = min(lo + step, e, file_hi)
+            out.append(_RangePartition(path, lo - file_lo, hi - file_lo))
+            lo = hi
+        file_lo = file_hi
+    return out
+
+
 class _SynthBatchReader(DataSourceReader):
-    def __init__(self, path: str, n_rows: int, n_parts: int):
-        self.path, self.n_rows, self.n_parts = path, n_rows, n_parts
+    def __init__(self, log: list[tuple[str, int]], n_parts: int):
+        self.log, self.n_parts = log, n_parts
+        self.n_rows = sum(n for _, n in log)
 
     def partitions(self):
         step = -(-self.n_rows // self.n_parts)
-        return [
-            _RangePartition(self.path, lo, min(lo + step, self.n_rows))
-            for lo in range(0, self.n_rows, step)
-        ]
+        return _range_partitions(self.log, 0, self.n_rows, step)
 
     def read(self, partition: _RangePartition):
         yield from _read_range(partition.path, partition.start, partition.end)
 
 
 class _SynthStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, n_rows: int, rows_per_batch: int, n_parts: int):
+    def __init__(
+        self,
+        log: list[tuple[str, int]] | str,
+        n_rows: int | None = None,
+        rows_per_batch: int = 500,
+        n_parts: int = 4,
+        files_per_batch: int | None = None,
+    ):
+        # legacy signature (path, n_rows, …) kept for the unit tests
+        if isinstance(log, str):
+            log = [(log, int(n_rows))]
         if rows_per_batch <= 0:
             raise ValueError(f"rowsPerBatch must be positive, got {rows_per_batch}")
-        self.path, self.n_rows = path, n_rows
+        if files_per_batch is not None and files_per_batch <= 0:
+            raise ValueError(f"filesPerBatch must be positive, got {files_per_batch}")
+        self.log = log
+        self.n_rows = sum(n for _, n in log)
+        # cumulative end-of-file global offsets — the legal cursor stops
+        # in filesPerBatch mode
+        self._file_ends: list[int] = []
+        acc = 0
+        for _, n in log:
+            acc += n
+            self._file_ends.append(acc)
         self.rows_per_batch, self.n_parts = rows_per_batch, n_parts
+        self.files_per_batch = files_per_batch
         # rate-limit cursor: advisory only — repaired upward from every
         # offset Spark hands back (commit / partitions), never the other
         # way, so a restarted query's fresh reader cannot rewind the log
@@ -184,9 +225,18 @@ class _SynthStreamReader(DataSourceStreamReader):
         return {"row": 0}
 
     def latestOffset(self) -> dict:
-        # advance at most rows_per_batch past everything known durable —
-        # the rate-control half of the reference's bookmark pattern
-        self._cursor = min(self._cursor + self.rows_per_batch, self.n_rows)
+        # advance at most one rate-control quantum past everything known
+        # durable — the rate-control half of the reference's bookmark
+        # pattern. filesPerBatch mode advances to the end of the next N
+        # not-fully-consumed files (file-boundary micro-batches, the
+        # maxFilesPerTrigger analog); rowsPerBatch mode is row-granular.
+        if self.files_per_batch is not None:
+            consumed = bisect.bisect_right(self._file_ends, self._cursor)
+            nxt = min(consumed + self.files_per_batch, len(self._file_ends))
+            if nxt > consumed or self._cursor < self._file_ends[-1]:
+                self._cursor = self._file_ends[max(nxt - 1, 0)]
+        else:
+            self._cursor = min(self._cursor + self.rows_per_batch, self.n_rows)
         return {"row": self._cursor}
 
     def partitions(self, start: dict, end: dict):
@@ -197,10 +247,7 @@ class _SynthStreamReader(DataSourceStreamReader):
         if e <= s:
             return []
         step = -(-(e - s) // self.n_parts)
-        return [
-            _RangePartition(self.path, lo, min(lo + step, e))
-            for lo in range(s, e, step)
-        ]
+        return _range_partitions(self.log, s, e, step)
 
     def read(self, partition: _RangePartition):
         yield from _read_range(partition.path, partition.start, partition.end)

@@ -217,12 +217,45 @@ def start_pipeline(
     max_files_per_trigger: int = 1,
     available_now: bool = False,
     trigger_interval: str | None = None,
+    source_format: str = "files",
 ) -> PipelineHandles:
     """Start the selected streaming queries; each has its own checkpoint
-    under ``work_dir`` and its own MERGE sink table."""
+    under ``work_dir`` and its own MERGE sink table.
+
+    ``source_format``: ``"files"`` (the parquet file stream source) or
+    ``"py_datasource"`` (the registered Spark 4 Python Data Source,
+    ``sources/py_datasource.py`` — row-position offsets over the same
+    arrival-ordered log, ``filesPerBatch`` mirroring
+    ``maxFilesPerTrigger`` so the micro-batch boundaries are identical).
+    The py source's rate limit lives in ``latestOffset``, which
+    ``Trigger.AvailableNow`` snapshots ONCE as the final end — a
+    one-shot drain through it must use the default trigger +
+    ``processAllAvailable`` (see ``run_pipeline_to_completion``), not
+    ``available_now=True``."""
+    if source_format == "py_datasource" and available_now:
+        raise ValueError(
+            "py_datasource + Trigger.AvailableNow under-drains: the "
+            "trigger snapshots the rate-limited latestOffset once; use "
+            "the default trigger and processAllAvailable instead"
+        )
     h = PipelineHandles()
 
     def src() -> DataFrame:
+        if source_format == "py_datasource":
+            from ..sources.py_datasource import SynthTranscriptsDataSource
+
+            spark.dataSource.register(SynthTranscriptsDataSource)
+            return (
+                spark.readStream.format("synth_transcripts")
+                .option("path", source_dir)
+                .option("filesPerBatch", str(max_files_per_trigger))
+                # 4 read tasks/batch: each task is a Python worker doing
+                # an Arrow range scan — at verification scale the worker
+                # fan-out costs more than the extra read parallelism buys
+                # (the downstream shuffle re-partitions anyway)
+                .option("numPartitions", "4")
+                .load()
+            )
         return read_transcripts_stream(spark, source_dir, max_files_per_trigger)
 
     def ckpt(name: str) -> str:
@@ -708,11 +741,19 @@ def run_pipeline_to_completion(
     watermark: str = DEFAULT_WATERMARK,
     max_files_per_trigger: int = 4,
     shuffle_partitions: int | None = None,
+    source_format: str = "files",
 ) -> PipelineHandles:
-    """Drain the whole source with Trigger.AvailableNow and return handles.
-    Rate control is preserved (micro-batches of ``max_files_per_trigger``
-    files), so watermark semantics match a live run over the same arrival
-    order.
+    """Drain the whole source and return handles. Rate control is
+    preserved (micro-batches of ``max_files_per_trigger`` files), so
+    watermark semantics match a live run over the same arrival order.
+    The file source drains under ``Trigger.AvailableNow``; the
+    registered Python Data Source (``source_format="py_datasource"``)
+    drains under the default trigger + ``processAllAvailable`` — its
+    rate limit lives in ``latestOffset``, which AvailableNow snapshots
+    once (see ``start_pipeline``) — then stops each query. Both paths
+    run the post-watermark flush batches (``processAllAvailable`` blocks
+    until no-new-data, which includes the stateful flush batch the
+    sentinel's watermark advance schedules).
 
     ``shuffle_partitions``: state stores are instantiated and committed
     PER shuffle partition PER stateful operator PER micro-batch — at
@@ -726,8 +767,14 @@ def run_pipeline_to_completion(
     try:
         h = start_pipeline(
             spark, source_dir, work_dir, queries, watermark,
-            max_files_per_trigger, available_now=True,
+            max_files_per_trigger,
+            available_now=source_format != "py_datasource",
+            source_format=source_format,
         )
+        if source_format == "py_datasource":
+            for q in h.queries.values():
+                q.processAllAvailable()
+            h.stop_all()
         h.await_all()
     finally:
         if shuffle_partitions is not None:

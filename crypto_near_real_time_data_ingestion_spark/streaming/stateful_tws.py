@@ -8,14 +8,21 @@ event time, so output is bit-equal to the batch
 ``plans/gold_features.conv_features`` plan and to the
 ``applyInPandasWithState`` backend. What differs is the state plumbing:
 
-  * typed, named state variables (one ``ValueState`` per aggregate
-    group, one ``ListState`` for the turn buffer) instead of a single
-    monolithic state tuple — the TWS model; only touched variables are
-    re-serialized per batch, which at 10^12-turn scale means the O(1)
-    aggregates don't pay for the O(n) buffer on quiet batches;
+  * ONE typed ``ValueState`` holding the whole packed state struct
+    (array fields for the buffers, scalar fields for the O(1)
+    aggregates) — one get + one update per key per batch. The round-4
+    five-variable layout (ListState per buffer + ValueState for
+    aggregates) was the textbook TWS shape, but this operator touches
+    EVERY variable every batch (the emission sweep rewrites buffers and
+    aggregates together), so the split bought nothing and cost 5×
+    get/put round trips over the pure-python protobuf shim — the
+    dominant per-batch cost at verification scale (r4 verdict item 5).
+    A workload with genuinely cold variables (big buffer, quiet
+    aggregates) would keep the split;
   * first-class event-time timers (``registerTimer`` /
-    ``handleExpiredTimer``) instead of one timeout slot — eviction and
-    buffered-emission wakeups are separate timers;
+    ``handleExpiredTimer``); the last registered expiry rides inside
+    the packed struct, so re-arming is delete(old)+register(new) — no
+    ``listTimers`` scan per batch;
   * requires the RocksDB state store provider (enforced by Spark).
 
 Availability: the TWS Python↔JVM state protocol is protobuf-based
@@ -123,18 +130,16 @@ def tws_available() -> bool:
     except Exception:
         return False
 
-# buffer rows: one per not-yet-emitted turn
-_BUF_SCHEMA = "turn_idx int, ts_us long, has_tool boolean"
-# emission-ordered inter-turn gaps (backs the expanding exact percentiles)
-_GAPS_SCHEMA = "gap_us double"
-# event times inside the trailing 10-min window
-_RECENT_SCHEMA = "ts_us long"
-# turn_idx values already emitted (exact-dedup set)
-_EMITTED_SCHEMA = "turn_idx int"
-# O(1) running aggregates
-_AGG_SCHEMA = (
+# the whole per-key state as ONE struct: array fields mirror the
+# _step tuple's list slots, scalars its running aggregates; timer_ms is
+# the currently-armed event-time timer (-1 = none) so re-arming needs no
+# listTimers round trip
+_STATE_SCHEMA = (
+    "buf_ti array<int>, buf_ts array<long>, buf_tool array<boolean>, "
+    "emitted array<int>, gaps array<double>, recent array<long>, "
     "emitted_count long, emitted_tool long, max_turn_idx int, "
-    "last_ts_us long, session_id int, session_start_us long"
+    "last_ts_us long, session_id int, session_start_us long, "
+    "timer_ms long"
 )
 
 
@@ -146,64 +151,44 @@ class ConvFeaturesProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
-        self.buf = handle.getListState("buf", _BUF_SCHEMA)
-        self.gaps = handle.getListState("gaps", _GAPS_SCHEMA)
-        self.recent = handle.getListState("recent", _RECENT_SCHEMA)
-        self.emitted = handle.getListState("emitted", _EMITTED_SCHEMA)
-        self.agg = handle.getValueState("agg", _AGG_SCHEMA)
+        self.packed = handle.getValueState("packed", _STATE_SCHEMA)
 
     # -- state (de)serialization to/from the shared 12-field tuple ---------
 
-    def _load(self) -> tuple:
-        if not self.agg.exists():
-            return _EMPTY
-        e_count, e_tool, max_ti, last_ts, sess_id, sess_start = self.agg.get()
-        buf = list(self.buf.get())
-        return (
-            [b[0] for b in buf],
-            [b[1] for b in buf],
-            [b[2] for b in buf],
-            [r[0] for r in self.emitted.get()],
-            [r[0] for r in self.gaps.get()],
-            [r[0] for r in self.recent.get()],
-            e_count, e_tool, max_ti, last_ts, sess_id, sess_start,
-        )
+    def _load(self) -> tuple[tuple, int]:
+        """(state_tuple, armed_timer_ms) in ONE round trip."""
+        v = self.packed.get()
+        if v is None:
+            return _EMPTY, -1
+        return tuple(list(f) for f in v[:6]) + tuple(v[6:12]), v[12]
 
-    def _store(self, st: tuple, timer_ms: int, timer_values) -> None:
-        (
-            buf_ti, buf_ts, buf_tool, emitted, gaps, recent,
-            e_count, e_tool, max_ti, last_ts, sess_id, sess_start,
-        ) = st
-        # TWS list state rejects empty puts — clear() is the empty write
-        def put_list(state, rows: list) -> None:
-            state.put(rows) if rows else state.clear()
+    def _store(self, st: tuple, timer_ms: int, old_timer_ms: int) -> None:
+        self.packed.update((*st, timer_ms))
+        if timer_ms != old_timer_ms:
+            if old_timer_ms >= 0:
+                self.handle.deleteTimer(old_timer_ms)
+            self.handle.registerTimer(timer_ms)
 
-        put_list(self.buf, list(zip(buf_ti, buf_ts, buf_tool)))
-        put_list(self.gaps, [(g,) for g in gaps])
-        put_list(self.recent, [(r,) for r in recent])
-        put_list(self.emitted, [(t,) for t in emitted])
-        self.agg.update((e_count, e_tool, max_ti, last_ts, sess_id, sess_start))
-        for t in self.handle.listTimers():
-            self.handle.deleteTimer(t)
-        self.handle.registerTimer(timer_ms)
+    def _clear(self, old_timer_ms: int) -> None:
+        if old_timer_ms >= 0:
+            self.handle.deleteTimer(old_timer_ms)
+        self.packed.clear()
 
-    def _clear(self) -> None:
-        for t in self.handle.listTimers():
-            self.handle.deleteTimer(t)
-        for s in (self.buf, self.gaps, self.recent, self.emitted):
-            s.clear()
-        self.agg.clear()
-
-    def _run(self, key, pdf_iter, timer_values) -> Iterator[pd.DataFrame]:
+    def _run(self, key, pdf_iter, timer_values, expired_timer_ms=None):
         (conv_id,) = key
         wm_us = timer_values.getCurrentWatermarkInMs() * 1000
+        st, old_timer = self._load()
         out_rows, new_state, timer = _step(
-            conv_id, pdf_iter, self._load(), wm_us, self.gap_s
+            conv_id, pdf_iter, st, wm_us, self.gap_s
         )
+        if expired_timer_ms is not None and old_timer == expired_timer_ms:
+            # the firing timer is consumed by the engine — never delete
+            # or double-register it
+            old_timer = -1
         if new_state is not None:
-            self._store(new_state, timer, timer_values)
+            self._store(new_state, timer, old_timer)
         else:
-            self._clear()
+            self._clear(old_timer)
         if out_rows:
             yield _rows_to_pdf(out_rows)
 
@@ -213,7 +198,10 @@ class ConvFeaturesProcessor(StatefulProcessor):
         return self._run(key, rows, timerValues)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        return self._run(key, iter(()), timerValues)
+        return self._run(
+            key, iter(()), timerValues,
+            expired_timer_ms=expiredTimerInfo.getExpiryTimeInMs(),
+        )
 
     def close(self) -> None:
         pass

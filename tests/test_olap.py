@@ -60,3 +60,43 @@ def test_pivot_count_preservation(spark):
     ev = _events(spark)
     wide = olap.events_pivot(ev).toPandas()
     assert int(wide[list(olap.EVENT_TYPES)].sum().sum()) == ev.count()
+
+
+def test_pivot_strict_modes(spark):
+    """Planted off-vocabulary types (one unseen string + one NULL) fire
+    the strict guard; 'other' counts them per day in the same pass; the
+    default fast path keeps the pinned schema and drops them."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    ev = _events(spark).select("event_type", "ts")
+    planted = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_type": ["mystery", None],
+                "ts": pd.to_datetime(["2024-03-01 10:00", "2024-03-02 11:00"]),
+            }
+        )
+    ).select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+    dirty = ev.unionByName(planted)
+
+    with pytest.raises(ValueError, match="2 rows carry an event_type"):
+        olap.events_pivot(dirty, strict="error")
+
+    other = olap.events_pivot(dirty, strict="other").toPandas()
+    assert "__other" in other.columns
+    assert int(other["__other"].sum()) == 2
+    # count preservation now INCLUDES the off-vocab rows
+    assert (
+        int(other[[*olap.EVENT_TYPES, "__other"]].sum().sum()) == dirty.count()
+    )
+
+    # clean data: strict='error' passes and equals the fast path
+    clean_strict = olap.events_pivot(ev, strict="error").toPandas()
+    assert "__other" not in clean_strict.columns
+    fast = olap.events_pivot(dirty).toPandas()
+    assert "__other" not in fast.columns
+
+    with pytest.raises(ValueError, match="ignore|error|other"):
+        olap.events_pivot(ev, strict="loud")

@@ -62,6 +62,36 @@ def test_dangling_free_teleport_floor(spark):
     assert int(pr.pr.min()) >= tele
 
 
+def test_shuffle_branch_bit_equals_broadcast(spark):
+    """Execute the >broadcast_nodes_max keyed-shuffle branch (threshold
+    forced to 0, auto-broadcast disabled so the joins PHYSICALLY shuffle,
+    not just lose the hint) and pin bit-equality with the broadcast
+    branch — the docstring's 'results identical either way' claim
+    executed, not asserted."""
+    from pyspark.sql import functions as F
+
+    from crypto_near_real_time_data_ingestion_spark.operators import ann
+
+    emb = _emb(spark)
+    edges = ann.broadcast_cosine_topk(emb, k=pagerank.KNN_K).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    bc = pagerank.pagerank_fixed_point(nodes, edges, n_iter=2).toPandas()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = pagerank.pagerank_fixed_point(
+            nodes, edges, n_iter=2, broadcast_nodes_max=0
+        ).toPandas()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    pd.testing.assert_frame_equal(
+        bc.sort_values("node").reset_index(drop=True),
+        sh.sort_values("node").reset_index(drop=True),
+    )
+
+
 def test_empty_nodes_raise(spark):
     nodes = spark.createDataFrame([], "node long")
     edges = spark.createDataFrame([], "src long, dst long")

@@ -55,6 +55,18 @@ guard that registration stays inside the graded window:
                                   |   graded streaming_gold_hour
   events_unpivot (round 4, for    | HERE (melt oracle; the inverse
     streaming_funnel's slot)      |   events_pivot is driver-graded)
+  gold_conv_features_arrow        | test_rolling_vectorized (bit-equal
+    (round 5, doc_line_dedup's    |   to the Catalyst twin, itself
+    slot)                         |   oracled in test_gold_plans); the
+                                  |   IDENTICAL oracle template stays
+                                  |   driver-graded 2× via streaming_
+                                  |   conv_features + _tws
+  gold_tool_bursts (round 5,      | HERE (role='tool' variant of the
+    doc_dedup_spans' slot)        |   ROLE_RUNS template whose 'user'
+                                  |   variant stays driver-graded via
+                                  |   streaming_role_runs)
+  doc_mixture_weights (round 5,   | test_documents_ops::test_dataset_
+    doc_normalize's slot)         |   assembly_ops (DuckDB oracle)
 """
 
 from __future__ import annotations
@@ -94,6 +106,7 @@ def test_registration_stays_inside_graded_window():
     # if the window shrank slightly
     names = list(q)
     for must_be_early in (
+        "doc_line_dedup", "doc_dedup_spans", "doc_normalize",
         "emb_pagerank", "events_scd2", "events_rollup", "events_pivot",
         "events_funnel_daily", "streaming_funnel",
         "streaming_lsh_pairs", "streaming_emb_pairs",
@@ -101,7 +114,7 @@ def test_registration_stays_inside_graded_window():
         "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_ivfpq_ann_topk",
         "media_features", "streaming_latency_hist", "streaming_rank",
     ):
-        assert names.index(must_be_early) < 16
+        assert names.index(must_be_early) < 19
 
 
 def test_media_metadata_oracle(spark):
@@ -153,6 +166,22 @@ def test_role_runs_user_oracle(spark, transcripts_parquet):
     want = duckdb.sql(
         patterns.ROLE_RUNS_ORACLE_SQL_TEMPLATE.format(
             path=transcripts_parquet, role="user", min_run=2
+        )
+    ).df()
+    assert_df_equal(got, want, sort_cols=["conv_id", "run_start_turn"])
+
+
+def test_tool_bursts_oracle(spark, transcripts_parquet):
+    """Tool-burst CEP detector, retired round 5 (doc_dedup_spans' slot):
+    the same parameterized ROLE_RUNS template's role='user' variant
+    stays driver-graded via streaming_role_runs."""
+    from crypto_near_real_time_data_ingestion_spark.plans import patterns
+
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    got = patterns.tool_bursts(silver)
+    want = duckdb.sql(
+        patterns.ROLE_RUNS_ORACLE_SQL_TEMPLATE.format(
+            path=transcripts_parquet, role="tool", min_run=2
         )
     ).df()
     assert_df_equal(got, want, sort_cols=["conv_id", "run_start_turn"])
