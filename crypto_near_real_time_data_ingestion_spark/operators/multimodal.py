@@ -2,11 +2,15 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs; decode / feature-extraction runs as Arrow-batched pandas UDFs
-over ``mapInPandas``. The container ships no imaging/audio libraries, so
-the decode step is STUBBED (deterministic fake features derived from the
-bytes, or ``NotImplementedError`` for the real-codec path) — the
+over ``mapInPandas``. The container ships no imaging/audio libraries,
+so decode is split at the honest boundary: UNCOMPRESSED raster formats
+(binary PNM P5/P6, 24-bit BI_RGB BMP) decode for real in pure numpy
+(``decode_media`` → ``resize_decoded_images``, fixture-pinned byte
+math); compressed formats and audio/video — which genuinely need
+PIL/ffmpeg — raise ``NotImplementedError``, with deterministic fake
+features (``extract_media_features``) as the tested stand-in. The
 Spark-side plumbing that matters at scale (schema, batch shape,
-partitioning, UDF signatures) is real and tested.
+partitioning, UDF signatures) is real and tested on both paths.
 
 Scale notes: binary payloads dominate row size — ``maxRecordsPerBatch``
 is lowered on this path so Arrow batches stay ~tens of MB; partitioning
@@ -62,11 +66,164 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover - real path
-    """Real-codec decode path — requires imaging/audio libs absent here."""
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """P6 (RGB) / P5 (gray) binary PNM → (h, w, 3) uint8. Header is
+    ASCII tokens (magic, width, height, maxval) with ``#`` comments;
+    pixel payload follows the single whitespace after maxval."""
+    # tokenize the header byte-wise: whitespace-separated, '#' to EOL is
+    # a comment. Track position so the pixel block offset is exact.
+    tokens, pos, n = [], 0, len(payload)
+    while len(tokens) < 4 and pos < n:
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            while pos < n and payload[pos] not in b"\r\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < n and payload[pos] not in b" \t\r\n#":
+                pos += 1
+            tokens.append(payload[start:pos])
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PNM: {magic!r}")
+    if maxval != 255:
+        raise NotImplementedError(f"only 8-bit PNM supported, maxval={maxval}")
+    pos += 1  # the single whitespace byte after maxval
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(payload, np.uint8, count=w * h * ch, offset=pos)
+    img = px.reshape(h, w, ch)
+    return np.repeat(img, 3, axis=2) if ch == 1 else img
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → (h, w, 3) uint8 (RGB order).
+    Rows are stored bottom-up, BGR, padded to 4-byte boundaries."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int(np.frombuffer(payload, "<u4", 1, 10)[0])
+    w = int(np.frombuffer(payload, "<i4", 1, 18)[0])
+    h = int(np.frombuffer(payload, "<i4", 1, 22)[0])
+    bits = int(np.frombuffer(payload, "<u2", 1, 28)[0])
+    comp = int(np.frombuffer(payload, "<u4", 1, 30)[0])
+    if bits != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bits={bits}, "
+            f"compression={comp})"
+        )
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        img = img[::-1]
+    return img[..., ::-1]  # BGR → RGB
+
+
+def decode_media(payload: bytes, media_type: str) -> np.ndarray:
+    """Decode a binary payload to an (h, w, 3) uint8 RGB array.
+
+    REAL for the uncompressed raster formats a pure-numpy decoder can
+    handle with no codec library — binary PNM (P6/P5) and 24-bit BI_RGB
+    BMP, dispatched on the payload's magic bytes. Compressed formats
+    (JPEG/PNG/...) and audio/video still raise: those genuinely need
+    PIL/ffmpeg, absent in this container — the honest stub boundary,
+    now scoped to where a codec is truly required."""
+    if media_type == "image":
+        if payload[:2] in (b"P5", b"P6"):
+            return _decode_pnm(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
     raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg/torchaudio; this container ships "
-        "none. Use extract_media_features (deterministic fake) instead."
+        "decoding this payload requires PIL/ffmpeg/torchaudio; this "
+        "container ships none. Pure-numpy decode covers PNM (P5/P6) and "
+        "uncompressed 24-bit BMP image payloads only."
+    )
+
+
+def _nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width, 3): pure index
+    gather (the floor-sampling convention ``src = out * src_dim //
+    out_dim`` — exact integer byte math, no interpolation rounding)."""
+    h, w = img.shape[:2]
+    yi = np.arange(height, dtype=np.int64) * h // height
+    xi = np.arange(width, dtype=np.int64) * w // width
+    return img[yi[:, None], xi[None, :]]
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),  # raw RGB, row-major
+        T.StructField("pixel_checksum", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def resize_decoded_images(
+    media: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """REAL decode → resample path for the formats ``decode_media``
+    handles (PNM/BMP): each image payload is decoded to pixels,
+    nearest-neighbor-resized to (height, width), and re-emitted as a
+    raw RGB binary payload with audit features (pixel checksum, mean
+    luma — both exact integer/round-6 byte math, so a planted fixture
+    pins the whole path bit-for-bit; test_multimodal_decode.py).
+
+    Batch shape: header parsing is per-row Python (bounded: a few
+    dozen bytes per row); ALL pixel work — the decode reshape, the
+    resample gather, checksum/luma reductions — is numpy over the
+    decoded block, preserving the §2.9 no-per-pixel-Python rule. Skew
+    note: repartition on media_id upstream (as extract_media_features
+    does) when source layout clusters large images."""
+    from .ann import _round6_half_away
+
+    target = width * height * 3
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            out = np.empty((n, target), dtype=np.uint8)
+            src_w = np.empty(n, dtype=np.int32)
+            src_h = np.empty(n, dtype=np.int32)
+            for i, (payload, mtype) in enumerate(
+                zip(pdf["payload"], pdf["media_type"])
+            ):
+                img = decode_media(payload, mtype)
+                src_h[i], src_w[i] = img.shape[:2]
+                out[i] = _nn_resize(img, width, height).reshape(-1)
+            checksum = out.astype(np.int64).sum(axis=1)
+            # integer-sum luma then ONE division (oracle-stable: the
+            # division is the only float op, then round 6)
+            luma = _round6_half_away(
+                out.reshape(n, height * width, 3).astype(np.int64).sum(axis=1)
+                @ np.array([299, 587, 114], dtype=np.int64)
+                / (1000.0 * height * width)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "src_width": src_w,
+                    "src_height": src_h,
+                    "width": np.full(n, width, dtype=np.int32),
+                    "height": np.full(n, height, dtype=np.int32),
+                    "payload": [row.tobytes() for row in out],
+                    "pixel_checksum": checksum,
+                    "mean_luma": luma,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        fn, schema=DECODED_SCHEMA
     )
 
 
