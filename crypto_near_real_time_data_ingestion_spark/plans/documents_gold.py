@@ -1290,10 +1290,16 @@ def _cross_dup_starts(docs: DataFrame, n: int):
     """Shared matched-starts core of ``doc_dup_span_stats`` (the signal)
     and ``doc_dedup_spans`` (the cut): tokenized docs ``d`` =
     (doc_id, toks) plus ``starts`` = (doc_id, positions of n-grams that
-    also occur in ANOTHER document). One explode ∝ token occurrences,
-    partial-agg ``min(doc_id) <> max(doc_id)`` occurs-elsewhere test (no
-    countDistinct), one groupBy(doc_id) of the matched starts. Factored
-    so a tokenization or window fix can never drift between the two ops
+    also occur in ANOTHER document). One explode ∝ token occurrences;
+    the occurs-elsewhere test is ``min(doc_id) <> max(doc_id)`` as a
+    WINDOW over the gram partition (no countDistinct) — a single pass
+    with one hash shuffle. The round-4 form (the same min/max as an
+    AGGREGATE joined back to the occurrences) scanned the exploded
+    corpus twice — the agg subtree and the join probe are separate
+    scans — and measured 1.9× slower at 5.8M gram occurrences (the
+    doc_line_dedup finding, BASELINE §29, applied here the same
+    round). One groupBy(doc_id) folds the matched starts. Factored so
+    a tokenization or window fix can never drift between the two ops
     (their consistency is pinned by test)."""
     toks = word_tokens(F.col("text"))
     d = docs.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
@@ -1312,14 +1318,12 @@ def _cross_dup_starts(docs: DataFrame, n: int):
     exploded = d.select("doc_id", F.explode(gram).alias("x")).select(
         "doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g")
     )
-    cross = (
-        exploded.groupBy("g")
-        .agg((F.min("doc_id") != F.max("doc_id")).alias("crossdup"))
-        .filter("crossdup")
-        .select("g")
-    )
+    w_g = Window.partitionBy("g")
     starts = (
-        exploded.join(cross, "g")
+        exploded.withColumn(
+            "crossdup", F.min("doc_id").over(w_g) != F.max("doc_id").over(w_g)
+        )
+        .filter("crossdup")
         .groupBy("doc_id")
         .agg(F.collect_list("pos").alias("starts"))
     )
@@ -1505,12 +1509,19 @@ def doc_line_dedup(docs: DataFrame) -> DataFrame:
     MassiveText doc-drop signal too: ``drop_doc`` when more than
     ``LINE_DEDUP_MAX_DUP_FRAC`` of a doc's lines were duplicates.
 
-    Plan shape (the 100 TB-safe one): posexplode is map-only; the
-    first-occurrence table reduces with a map-side partial agg keyed by
-    the line's md5 (shuffle ∝ distinct lines), filtered to lines that
-    actually duplicate; one hash join keyed by the md5 decides each
-    occurrence's fate; removed positions fold to one small array per
-    affected doc; the cut itself is the same IN-ROW Catalyst gather as
+    Plan shape (the 100 TB-safe one): posexplode is map-only; each
+    occurrence's fate is ONE ``row_number`` window keyed by the line's
+    md5 ((doc_id, pos) order — rn 1 is the corpus-wide winner): a
+    single pass over the occurrences, one hash shuffle, and the
+    in-group sorts are per-distinct-line (tiny). The seemingly-
+    scalable alternative — a first-occurrence AGGREGATE joined back to
+    the occurrences — reads the exploded corpus TWICE (the winners
+    subtree and the join probe are separate scans unless the whole
+    occurrence table is persisted, which at corpus scale is its own
+    cost); measured 4.1×/1.3× slower at 4M occurrences across
+    duplication regimes (BASELINE §29, scripts/line_dedup_scale_demo).
+    Removed positions then fold to one small array per affected doc;
+    the cut itself is the same IN-ROW Catalyst gather as
     ``doc_dedup_spans`` (array_except over the position sequence — no
     Python, no second pass over the text). Whole-doc duplicates are a
     special case: a later exact copy of a single-line doc loses its
@@ -1521,22 +1532,10 @@ def doc_line_dedup(docs: DataFrame) -> DataFrame:
     )
     occ = d.select("doc_id", F.posexplode("lines").alias("pos", "line"))
     cand = occ.filter(F.trim("line") != "")
-    winners = (
-        cand.groupBy(F.md5("line").alias("h"))
-        .agg(
-            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
-            F.count(F.lit(1)).alias("c"),
-        )
-        .filter("c > 1")
-        .select("h", "first_occ")
-    )
+    w = Window.partitionBy(F.md5("line")).orderBy("doc_id", "pos")
     removed = (
-        cand.withColumn("h", F.md5("line"))
-        .join(winners, "h")
-        .filter(
-            (F.col("doc_id") != F.col("first_occ.doc_id"))
-            | (F.col("pos") != F.col("first_occ.pos"))
-        )
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter("rn > 1")
         .groupBy("doc_id")
         .agg(F.collect_list("pos").alias("rm"))
     )
