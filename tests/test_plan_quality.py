@@ -228,3 +228,50 @@ def test_enriched_stream_static_broadcast(spark, transcripts_parquet):
         )
     )
     assert "BroadcastHashJoin" in plan, "role dimension must broadcast"
+
+
+def test_aqe_coalesces_small_shuffle(spark, transcripts_parquet):
+    """AQE right-sizes shuffle partitions at runtime: a small aggregate
+    under the session's static partition count comes back coalesced
+    (`AQEShuffleRead coalesced`) in the final adaptive plan — the knob
+    that keeps per-partition fixed costs (task launch, state-store
+    commits) from dominating when a stage's data is far below the
+    static `spark.sql.shuffle.partitions` sizing. The final plan is
+    only visible on the executed Dataset's own QueryExecution
+    (CLAUDE.md AQE note), hence collect-then-inspect."""
+    from pyspark.sql import functions as F
+
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    agg = silver.groupBy("conv_id").agg(F.count("*").alias("n"))
+    agg.collect()
+    plan = _plan(agg)
+    assert "coalesced" in plan, plan
+
+
+def test_identical_subplans_reuse_one_exchange(spark, transcripts_parquet):
+    """Exchange reuse: when the SAME aggregated subtree feeds a join
+    twice (the self-comparison shape — week-over-week stats, rank vs
+    rank), Spark computes and shuffles it ONCE (`ReusedExchange`)
+    instead of re-running the aggregation per side. At 100 TB that is
+    a full corpus scan + shuffle saved; worth pinning so a refactor
+    that perturbs one side's plan (breaking subtree equality) fails
+    here instead of doubling a production stage."""
+    from pyspark.sql import functions as F
+
+    silver = silver_batch(read_transcripts(spark, transcripts_parquet))
+    stats = silver.groupBy("conv_id").agg(
+        F.count("*").alias("n"), F.max("ts").alias("last_ts")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            stats.alias("a")
+            .join(stats.alias("b"), "conv_id")
+            .select("conv_id", F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
+        )
+        j.collect()
+        plan = _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "ReusedExchange" in plan, plan
