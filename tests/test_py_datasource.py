@@ -224,6 +224,71 @@ def test_kill_resume_on_directory_log(registered, stream_parquet_dir, tmp_path):
     assert len(dirs) >= 2
 
 
+def test_offset_protocol_fuzz():
+    """Hypothesis fuzz of the filesPerBatch offset protocol (pure
+    logic, no Spark): for ANY file-size layout, rate quantum, and
+    interleaving of engine callbacks (latestOffset / partitions /
+    commit self-repairs), offsets are non-decreasing, land on file
+    boundaries, reach the log end in finitely many steps, and every
+    planned batch's partitions tile [start, end) exactly, in order,
+    with in-file local ranges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crypto_near_real_time_data_ingestion_spark.sources.py_datasource import (
+        _SynthStreamReader,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=8),
+        fpb=st.integers(min_value=1, max_value=4),
+        n_parts=st.integers(min_value=1, max_value=5),
+        repairs=st.lists(st.integers(min_value=0, max_value=400), max_size=4),
+    )
+    def check(sizes, fpb, n_parts, repairs):
+        log = [(f"f{i}", n) for i, n in enumerate(sizes)]
+        r = _SynthStreamReader(log, n_parts=n_parts, files_per_batch=fpb)
+        total = sum(sizes)
+        ends = set()
+        acc = 0
+        for _, n in log:
+            acc += n
+            ends.add(acc)
+        # arbitrary self-repair points (a restarted query replays
+        # checkpointed ranges whose ends the fresh reader never saw)
+        for rp in repairs:
+            r.commit({"row": min(rp, total)})
+        prev = r._cursor
+        for _ in range(len(sizes) + 2):
+            cur = int(r.latestOffset()["row"])
+            assert cur >= prev
+            assert cur in ends or cur == prev  # boundary or exhausted
+            if cur > prev:
+                parts = r.partitions({"row": prev}, {"row": cur})
+                # partitions tile [prev, cur) exactly, in order
+                covered = 0
+                file_lo = {}
+                lo = 0
+                for p_, n in log:
+                    file_lo[p_] = lo
+                    lo += n
+                pos = prev
+                for p in parts:
+                    g_start = file_lo[p.path] + p.start
+                    assert g_start == pos
+                    assert p.end > p.start
+                    pos = file_lo[p.path] + p.end
+                    covered += p.end - p.start
+                assert pos == cur and covered == cur - prev
+            prev = cur
+            if cur >= total:
+                break
+        assert prev == total  # the log drains in ≤ len(sizes)+2 quanta
+
+    check()
+
+
 def test_reader_validation():
     from crypto_near_real_time_data_ingestion_spark.sources.py_datasource import (
         _SynthStreamReader,
