@@ -674,6 +674,42 @@ def _run_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select("doc_id_1", "doc_id_2", "jaccard")
 
 
+def _drained_events_sink(spark, sf_dir: str, kind: str, sentinel: bool, runner):
+    """Shared scaffold for entries that drain the events table as a
+    ts-ordered 4-chunk stream (funnel, scd2): build the source, run
+    ``runner(src, work) -> sink`` once per (session, sf), cache the
+    sink. Pid-suffixed dirs: build_events_stream_source rebuilds
+    unconditionally (rmtree — no meta-sidecar cache or lock), so a
+    shared path would let concurrent processes (bench + pytest)
+    clobber each other mid-drain; the source is small, cheap to build
+    per process. /dev/shm is RAM — reclaim at process exit (atexit,
+    not finally: the sink stays readable for later calls)."""
+    import atexit
+    import shutil
+
+    from crypto_near_real_time_data_ingestion_spark.datagen.events_stream import (
+        build_events_stream_source,
+    )
+
+    sf = sf_from_dir(sf_dir)
+    key = (spark.sparkContext.applicationId, sf, kind)
+    sink = _stream_cache.get(key)
+    if sink is None:
+        pid = os.getpid()
+        src_dir = f"{_fast_tmp()}/spark_graft_entry_{kind}_src_{sf}_{pid}"
+        work = f"{_fast_tmp()}/spark_graft_entry_{kind}_{sf}_{pid}"
+        for d in (src_dir, work):
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+        src = build_events_stream_source(
+            os.path.join(sf_dir, "events.parquet"), src_dir,
+            n_chunks=4, sentinel=sentinel,
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        sink = runner(src, work)
+        _stream_cache[key] = sink
+    return sink
+
+
 def _run_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type 2 dimension maintained INCREMENTALLY by the streaming
     foreachBatch-MERGE runner (streaming/scd2_maintenance.py): the
@@ -685,34 +721,11 @@ def _run_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_scd2_stream.py, so the same EVENTS_SCD2_ORACLE_SQL applies).
     No sentinel/watermark: foreachBatch sees whole micro-batches and
     the ts-ordered source IS the append-only contract."""
-    import shutil
-
-    from crypto_near_real_time_data_ingestion_spark.datagen.events_stream import (
-        build_events_stream_source,
-    )
     from crypto_near_real_time_data_ingestion_spark.streaming.scd2_maintenance import (
         run_scd2_maintenance_to_completion,
     )
 
-    sf = sf_from_dir(sf_dir)
-    key = (spark.sparkContext.applicationId, sf, "scd2")
-    sink = _stream_cache.get(key)
-    if sink is None:
-        # pid-suffixed + atexit-reclaimed tmpfs dirs — the funnel
-        # entry's isolation rationale (the source builder rmtrees
-        # unconditionally, so concurrent processes need separate dirs)
-        import atexit
-
-        pid = os.getpid()
-        src_dir = f"{_fast_tmp()}/spark_graft_entry_scd2_src_{sf}_{pid}"
-        work = f"{_fast_tmp()}/spark_graft_entry_scd2_{sf}_{pid}"
-        for d in (src_dir, work):
-            atexit.register(shutil.rmtree, d, ignore_errors=True)
-        src = build_events_stream_source(
-            os.path.join(sf_dir, "events.parquet"), src_dir,
-            n_chunks=4, sentinel=False,
-        )
-        shutil.rmtree(work, ignore_errors=True)
+    def runner(src, work):
         sink = run_scd2_maintenance_to_completion(
             spark, src, work, shuffle_partitions=8
         )
@@ -720,13 +733,14 @@ def _run_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scd2_rebuild_touched against the stored dimension — a drain
         # that collapsed to one batch would be the full rebuild in
         # disguise. Explicit raise, not assert (-O strips asserts).
-        applied = max(sink.committed_batches(), default=-1)
-        if applied < 1:
+        if max(sink.committed_batches(), default=-1) < 1:
             raise RuntimeError(
                 "streaming SCD2 drain ran a single batch — the "
                 "incremental maintenance path was not exercised"
             )
-        _stream_cache[key] = sink
+        return sink
+
+    sink = _drained_events_sink(spark, sf_dir, "scd2", False, runner)
     return sink.read(spark).select(
         "user_id", "event_type", "tier",
         "valid_from", "valid_to", "is_current", "version",
@@ -741,40 +755,18 @@ def _run_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming_funnel.py), so it answers the same generated
     oracle. Own drain + cache, same isolation rationale as the LSH
     entry."""
-    import shutil
-
     from pyspark.sql import functions as F
 
-    from crypto_near_real_time_data_ingestion_spark.datagen.events_stream import (
-        build_events_stream_source,
-    )
     from crypto_near_real_time_data_ingestion_spark.streaming.stateful_funnel import (
         run_funnel_to_completion,
     )
 
-    sf = sf_from_dir(sf_dir)
-    key = (spark.sparkContext.applicationId, sf, "funnel")
-    sink = _stream_cache.get(key)
-    if sink is None:
-        # pid-suffixed dirs: build_events_stream_source rebuilds
-        # unconditionally (rmtree — no meta-sidecar cache or lock), so a
-        # shared path would let concurrent processes (bench + pytest)
-        # clobber each other mid-drain; the source is 10k rows, cheap to
-        # build per process. /dev/shm is RAM — reclaim at process exit
-        # (atexit, not finally: the sink stays readable for later calls).
-        import atexit
-
-        pid = os.getpid()
-        src_dir = f"{_fast_tmp()}/spark_graft_entry_funnel_src_{sf}_{pid}"
-        work = f"{_fast_tmp()}/spark_graft_entry_funnel_{sf}_{pid}"
-        for d in (src_dir, work):
-            atexit.register(shutil.rmtree, d, ignore_errors=True)
-        src = build_events_stream_source(
-            os.path.join(sf_dir, "events.parquet"), src_dir, n_chunks=4
-        )
-        shutil.rmtree(work, ignore_errors=True)
-        sink = run_funnel_to_completion(spark, src, work, shuffle_partitions=8)
-        _stream_cache[key] = sink
+    sink = _drained_events_sink(
+        spark, sf_dir, "funnel", True,
+        lambda src, work: run_funnel_to_completion(
+            spark, src, work, shuffle_partitions=8
+        ),
+    )
     return sink.read(spark).filter(F.col("event_id") >= 0).select(
         "user_id", "event_id", "ts_0", "ts_1", "ts_2"
     )

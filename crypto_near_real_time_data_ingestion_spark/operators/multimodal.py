@@ -85,6 +85,10 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
             while pos < n and payload[pos] not in b" \t\r\n#":
                 pos += 1
             tokens.append(payload[start:pos])
+    if len(tokens) < 4:
+        # truncated/adversarial header: fail at the module's typed
+        # boundary, not with a bare IndexError inside a Spark task
+        raise ValueError(f"truncated PNM header: {payload[:32]!r}")
     magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
     if magic not in (b"P5", b"P6"):
         raise ValueError(f"not a binary PNM: {magic!r}")

@@ -133,6 +133,12 @@ def events_pivot(events: DataFrame, strict: str = "ignore") -> DataFrame:
     # scan. .pivot(col, values) compiles to exactly this form anyway.
     wide = _with_day(events).groupBy("day").agg(*agg_cols)
     if strict == "error":
+        # materialize the (days-sized, tiny) aggregate ONCE: the guard
+        # and the returned frame must read the SAME scan — lazily the
+        # caller's later action would re-aggregate the source, paying
+        # 2× and (on a concurrently-appended table) validating a
+        # different read than it returns
+        wide = wide.localCheckpoint(eager=True)
         bad = wide.agg(F.sum("__other")).first()[0] or 0
         if bad:
             raise ValueError(

@@ -233,8 +233,8 @@ class _SynthStreamReader(DataSourceStreamReader):
         if self.files_per_batch is not None:
             consumed = bisect.bisect_right(self._file_ends, self._cursor)
             nxt = min(consumed + self.files_per_batch, len(self._file_ends))
-            if nxt > consumed or self._cursor < self._file_ends[-1]:
-                self._cursor = self._file_ends[max(nxt - 1, 0)]
+            if nxt > consumed:
+                self._cursor = self._file_ends[nxt - 1]
         else:
             self._cursor = min(self._cursor + self.rows_per_batch, self.n_rows)
         return {"row": self._cursor}

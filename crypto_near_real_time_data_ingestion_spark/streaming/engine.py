@@ -772,9 +772,16 @@ def run_pipeline_to_completion(
             source_format=source_format,
         )
         if source_format == "py_datasource":
-            for q in h.queries.values():
-                q.processAllAvailable()
-            h.stop_all()
+            # stop_all in finally: a query failing mid-drain (e.g.
+            # state-server timeouts under CPU steal) must not leave the
+            # other default-trigger queries running forever in the
+            # driver — the AvailableNow path self-terminates, this one
+            # doesn't
+            try:
+                for q in h.queries.values():
+                    q.processAllAvailable()
+            finally:
+                h.stop_all()
         h.await_all()
     finally:
         if shuffle_partitions is not None:

@@ -121,9 +121,14 @@ def _step(
 
     Takes the 12-field state tuple (layout = ``STATE_SCHEMA``), ingests
     the batch's rows (exact dedup vs buffered+emitted), emits every
-    buffered turn whose event time the watermark has passed — in strict
-    (ts, turn_idx) order — and returns
-    ``(out_rows, new_state | None-to-evict, timer_ms | None)``."""
+    buffered turn whose event time the watermark has STRICTLY passed —
+    in strict (ts, turn_idx) order — and returns
+    ``(out_rows, new_state | None-to-evict, timer_ms | None)``.
+    Strictly: Spark drops late rows only when event-time < watermark,
+    so a ``ts == wm`` row may still arrive and its tied peers must
+    stay pending or the ordered running aggregates (gaps, sessions)
+    would fold the tie out of order (the stateful_funnel boundary
+    convention, applied to every sibling kernel round 5)."""
     (
         buf_ti, buf_ts, buf_tool, emitted_ti, gaps, recent,
         e_count, e_tool, max_ti, last_ts, sess_id, sess_start,
@@ -156,7 +161,8 @@ def _step(
         buf_ts.extend(np.asarray(ts[sel]).tolist())
         buf_tool.extend(np.asarray(tool[sel]).tolist())
 
-    # --- emit buffered turns whose event time <= watermark, in order
+    # --- emit buffered turns whose event time < watermark, in order
+    # (ts == wm is still-arrivable — see the docstring)
     out_rows: list[tuple] = []
     if buf_ti:
         order = np.lexsort((np.array(buf_ti), np.array(buf_ts)))
@@ -168,7 +174,7 @@ def _step(
         keep_ti, keep_ts, keep_tool = [], [], []
         for j in order:
             t_us = buf_ts[j]
-            if t_us > wm_us:
+            if t_us >= wm_us:
                 keep_ti.append(buf_ti[j])
                 keep_ts.append(buf_ts[j])
                 keep_tool.append(buf_tool[j])

@@ -120,8 +120,11 @@ def _asof_step(
         order = np.lexsort((ti_a, ts_a))
         ti_a, ts_a = ti_a[order], ts_a[order]
         role_a, tool_a = role_a[order], tool_a[order]
-        # sorted by ts → the emittable rows are exactly the prefix
-        n_emit = int(np.searchsorted(ts_a, wm_us, side="right"))
+        # sorted by ts → the emittable rows are exactly the prefix.
+        # side='left': only ts < wm is definite (Spark drops late rows
+        # strictly below the watermark, so a ts == wm tool row may
+        # still arrive and would be a turn's tied as-of match)
+        n_emit = int(np.searchsorted(ts_a, wm_us, side="left"))
         if n_emit:
             e_ti, e_ts = ti_a[:n_emit], ts_a[:n_emit]
             e_role, e_tool = role_a[:n_emit], tool_a[:n_emit]

@@ -118,8 +118,11 @@ def _runs_step(
         role_a = np.asarray(buf_role, dtype=object)
         order = np.lexsort((ti_a, ts_a))
         ti_a, ts_a, role_a = ti_a[order], ts_a[order], role_a[order]
-        # sorted by ts → the emittable rows are exactly the prefix
-        n_emit = int(np.searchsorted(ts_a, wm_us, side="right"))
+        # sorted by ts → the emittable rows are exactly the prefix.
+        # side='left': only ts < wm is definite (Spark drops late rows
+        # strictly below the watermark, so a ts == wm row may still
+        # arrive and could extend/break a run at the tie)
+        n_emit = int(np.searchsorted(ts_a, wm_us, side="left"))
         if n_emit:
             e_ti, e_ts = ti_a[:n_emit], ts_a[:n_emit]
             e_role = role_a[:n_emit]

@@ -84,3 +84,32 @@ def assert_df_equal(spark_df, oracle_pdf: pd.DataFrame, sort_cols=None, rtol=1e-
                 f"value mismatch in {c}: first diffs\n"
                 f"{pd.DataFrame({'spark': lc[mism], 'oracle': rc[mism]}).head()}"
             )
+
+
+def executed_plan_metrics(df, node_cls: str):
+    """Runtime SQL-metric dicts of every ``node_cls`` node in the
+    EXECUTED plan, walking through the AQE wrapper and query stages
+    (shared by the DPP and runtime-Bloom pins — one place to fix if a
+    Spark upgrade renames the adaptive node shapes)."""
+    out = []
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        n = stack.pop()
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(n.executedPlan())
+            continue
+        if "QueryStage" in cls:
+            stack.append(n.plan())
+            continue
+        if cls == node_cls:
+            m, vals = n.metrics(), {}
+            it = m.keys().iterator()
+            while it.hasNext():
+                k = it.next()
+                vals[k] = m.apply(k).value()
+            out.append(vals)
+        ch = n.children().iterator()
+        while ch.hasNext():
+            stack.append(ch.next())
+    return out

@@ -61,28 +61,12 @@ def _dim(spark):
 
 def _scan_metrics(df) -> dict[str, int]:
     """Runtime metrics of the (single) parquet scan in the EXECUTED
-    plan — walk through the AQE wrapper and query stages."""
-    stack = [df._jdf.queryExecution().executedPlan()]
-    while stack:
-        n = stack.pop()
-        cls = n.getClass().getSimpleName()
-        if cls == "AdaptiveSparkPlanExec":
-            stack.append(n.executedPlan())
-            continue
-        if "QueryStage" in cls:
-            stack.append(n.plan())
-            continue
-        if cls == "FileSourceScanExec":
-            m, out = n.metrics(), {}
-            it = m.keys().iterator()
-            while it.hasNext():
-                k = it.next()
-                out[k] = m.apply(k).value()
-            return out
-        ch = n.children().iterator()
-        while ch.hasNext():
-            stack.append(ch.next())
-    raise AssertionError("no FileSourceScanExec in the executed plan")
+    plan (shared walker: conftest.executed_plan_metrics)."""
+    from conftest import executed_plan_metrics
+
+    scans = executed_plan_metrics(df, "FileSourceScanExec")
+    assert scans, "no FileSourceScanExec in the executed plan"
+    return scans[0]
 
 
 def _join(spark, fact_path):

@@ -93,6 +93,9 @@ def test_compressed_and_nonimage_still_raise():
     bad_bmp[28] = 8  # bits-per-pixel
     with pytest.raises(NotImplementedError):
         mm.decode_media(bytes(bad_bmp), "image")
+    # truncated PNM header fails at the typed boundary, not IndexError
+    with pytest.raises(ValueError, match="truncated PNM header"):
+        mm.decode_media(b"P6\n3", "image")
 
 
 def test_resize_decoded_images_byte_oracle(spark):

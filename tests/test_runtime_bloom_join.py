@@ -47,26 +47,13 @@ def tables(spark):
 
 def _fact_shuffle_records(df) -> int:
     """Records written by the LARGEST shuffle in the executed plan —
-    the fact side (the dim shuffle is ≤ N_KEYS rows)."""
-    best = -1
-    stack = [df._jdf.queryExecution().executedPlan()]
-    while stack:
-        n = stack.pop()
-        cls = n.getClass().getSimpleName()
-        if cls == "AdaptiveSparkPlanExec":
-            stack.append(n.executedPlan())
-            continue
-        if "QueryStage" in cls:
-            stack.append(n.plan())
-            continue
-        if cls == "ShuffleExchangeExec":
-            m = n.metrics()
-            best = max(best, m.apply("shuffleRecordsWritten").value())
-        ch = n.children().iterator()
-        while ch.hasNext():
-            stack.append(ch.next())
-    assert best >= 0, "no shuffle in the executed plan"
-    return best
+    the fact side (the dim shuffle is ≤ N_KEYS rows). Shared walker:
+    conftest.executed_plan_metrics."""
+    from conftest import executed_plan_metrics
+
+    shuffles = executed_plan_metrics(df, "ShuffleExchangeExec")
+    assert shuffles, "no shuffle in the executed plan"
+    return max(m["shuffleRecordsWritten"] for m in shuffles)
 
 
 def _run(spark, tables, bloom_on: bool):

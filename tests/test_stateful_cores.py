@@ -80,11 +80,15 @@ def _turn_history(draw):
 
 def _wm_schedule(batches):
     """Monotonic watermarks honoring BOTH halves of Spark's contract:
-    after batch i the watermark stays strictly below every event time
-    still to arrive (no row is ever late-dropped by surprise), AND it
-    never exceeds the max event time observed so far — Spark computes
-    the watermark as max(observed event time) - delay with delay >= 0,
-    so a schedule that jumps past everything seen is unreachable. (The
+    after batch i the watermark stays AT OR below every event time
+    still to arrive — Spark drops late rows only when event-time is
+    STRICTLY below the watermark, so a still-to-arrive row with
+    ts == wm is legal and the schedule deliberately produces it
+    (wm = min(future), the boundary every kernel must treat as
+    pending; the round-5 watermark-tie convention) — AND it never
+    exceeds the max event time observed so far: Spark computes the
+    watermark as max(observed event time) - delay with delay >= 0, so
+    a schedule that jumps past everything seen is unreachable. (The
     unreachable jump matters: it can cross a key's eviction horizon
     while rows for that key are still in flight, manufacturing a
     "revived conversation" no real Spark run could produce.)"""
@@ -92,7 +96,7 @@ def _wm_schedule(batches):
     for i in range(len(batches)):
         seen_max = max([seen_max] + [ts for (_, ts, _, _) in batches[i]])
         future = [ts for b in batches[i + 1 :] for (_, ts, _, _) in b]
-        wm = min(min(future) - 1, seen_max) if future else FAR
+        wm = min(min(future), seen_max) if future else FAR
         wm = max(wm, wm_prev)  # watermarks never regress
         wms.append(wm)
         wm_prev = wm
