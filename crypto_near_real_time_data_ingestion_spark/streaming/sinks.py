@@ -57,11 +57,77 @@ class ParquetMergeSink:
             self._commit_marker(batch_id)
         )
 
+    # -- schema evolution ---------------------------------------------------
+    #
+    # The delta pile spans the table's lifetime, so its files can carry
+    # DIFFERENT schemas after an upstream change. A bare
+    # spark.read.parquet over mixed-schema files silently resolves to
+    # whichever file wins schema inference — columns from newer deltas
+    # vanish from the view. The contract here is the Iceberg-style
+    # metadata-driven one: the CURRENT schema lives in a `_schema.json`
+    # sidecar (tmp+rename, like every commit-point file), widened
+    # transactionally on write — ADDITIVE-ONLY: new columns are
+    # accepted (stored nullable; older deltas read them as NULL via the
+    # explicit read schema), dropping a column or changing a type is
+    # refused loudly (those need a rewrite, not a sidecar edit). Reads
+    # pass the stored schema explicitly, so the view is
+    # schema-deterministic regardless of file listing order — and no
+    # per-file footer merge (mergeSchema) is ever paid.
+
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.table_dir, "_schema.json")
+
+    def _stored_schema(self):
+        from pyspark.sql import types as T
+
+        if not os.path.exists(self._schema_path):
+            return None
+        with open(self._schema_path) as f:
+            return T.StructType.fromJson(json.load(f))
+
+    def _bind_schema(self, schema) -> None:
+        """Widen the stored schema with this batch's (additive-only) or
+        refuse a breaking change."""
+        from pyspark.sql import types as T
+
+        stored = self._stored_schema()
+        if stored is not None:
+            new_by_name = {f.name: f for f in schema.fields}
+            for f in stored.fields:
+                g = new_by_name.get(f.name)
+                if g is None:
+                    raise ValueError(
+                        f"schema evolution is additive-only: column "
+                        f"{f.name!r} is in the stored sink schema but "
+                        f"missing from this batch ({self.table_dir}); "
+                        "dropping a column needs a table rewrite"
+                    )
+                if g.dataType != f.dataType:
+                    raise ValueError(
+                        f"schema evolution is additive-only: column "
+                        f"{f.name!r} changed type {f.dataType} -> "
+                        f"{g.dataType} ({self.table_dir})"
+                    )
+            added = [f for f in schema.fields if f.name not in {x.name for x in stored.fields}]
+            if not added:
+                return
+            # new columns read as NULL from older deltas — store nullable
+            schema = T.StructType(
+                stored.fields
+                + [T.StructField(f.name, f.dataType, True) for f in added]
+            )
+        tmp = self._schema_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(schema.jsonValue(), f, indent=2)
+        os.rename(tmp, self._schema_path)
+
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
         """The ``foreachBatch`` handler. Idempotent: replaying a committed
         batch is a no-op; a torn write is overwritten at the same path."""
         if self.is_committed(batch_id):
             return
+        self._bind_schema(df.schema)
         out = os.path.join(self.data_dir, f"batch-{batch_id:08d}")
         df = df.withColumn("__batch_id", F.lit(batch_id))
         df.write.mode("overwrite").parquet(out)
@@ -230,7 +296,13 @@ class ParquetMergeSink:
         through = max(deltas)
         src = self._live_paths()
         out = self._snapshot_path(through)
-        frame = self._compact_frame(spark.read.parquet(*src)).withColumn(
+        # the sidecar reader, NOT a bare parquet read: folding a
+        # mixed-schema delta pile with inference resolves to whichever
+        # file wins — a column added mid-stream would be DROPPED from
+        # the snapshot and GC would then destroy the only copies
+        # (caught by test_sink_schema_evolution before this reader
+        # was wired in here)
+        frame = self._compact_frame(self._reader(spark).parquet(*src)).withColumn(
             "__batch_id", F.lit(through)
         )
         if zorder_by:
@@ -295,8 +367,29 @@ class ParquetMergeSink:
     def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
         """One fold-and-present definition shared by ``read`` and
         ``read_as_of`` (the additive sink overrides THIS, so time travel
-        inherits each sink's own merge semantics)."""
-        return self._compact_frame(spark.read.parquet(*paths)).drop("__batch_id")
+        inherits each sink's own merge semantics). The stored sidecar
+        schema (see the schema-evolution block) is passed explicitly:
+        mixed-schema delta piles read deterministically, added columns
+        come back NULL from pre-addition deltas, and no footer-merge
+        inference pass is paid. Legacy tables without the sidecar keep
+        the plain read."""
+        return self._compact_frame(self._reader(spark).parquet(*paths)).drop(
+            "__batch_id"
+        )
+
+    def _reader(self, spark: SparkSession):
+        """DataFrameReader with the sidecar schema bound (plain reader on
+        legacy tables without one)."""
+        from pyspark.sql import types as T
+
+        stored = self._stored_schema()
+        if stored is None:
+            return spark.read
+        return spark.read.schema(
+            T.StructType(
+                stored.fields + [T.StructField("__batch_id", T.LongType(), True)]
+            )
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Merged view: latest committed version of every key (upsert)."""
@@ -418,14 +511,15 @@ class ParquetMergeSink:
             # full schema, resolved from ONE live path (pruning proved the
             # rest irrelevant — don't list them just for schema)
             out = (
-                spark.read.parquet(all_live[0])
+                self._reader(spark)
+                .parquet(all_live[0])
                 .drop("__batch_id")
                 .filter(F.lit(False))
             )
             out._skipped_deltas = skipped
             return out
         out = (
-            self._compact_frame(spark.read.parquet(*paths))
+            self._compact_frame(self._reader(spark).parquet(*paths))
             .drop("__batch_id")
             .filter((c >= F.lit(lo_ts.to_pydatetime())) & (c <= F.lit(hi_ts.to_pydatetime())))
         )
@@ -467,7 +561,7 @@ class AdditiveSummarySink(ParquetMergeSink):
         # the snapshot writer and this merged view — they cannot drift.
         # read() and read_as_of() both land here, so time travel on the
         # sketch sink reports the certified bound AS OF that prefix too.
-        merged = self._compact_frame(spark.read.parquet(*paths)).withColumnRenamed(
+        merged = self._compact_frame(self._reader(spark).parquet(*paths)).withColumnRenamed(
             "decrement", "dec"
         )
         bound = merged.agg(
@@ -561,7 +655,7 @@ class CountMinSink(ParquetMergeSink):
         return df.groupBy("row", "col").agg(F.sum("count").alias("count"))
 
     def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
-        return self._compact_frame(spark.read.parquet(*paths))
+        return self._compact_frame(self._reader(spark).parquet(*paths))
 
 
 class HllSink(ParquetMergeSink):
@@ -610,7 +704,7 @@ class HllSink(ParquetMergeSink):
         return df.groupBy("bucket").agg(F.max("rho").alias("rho"))
 
     def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
-        return self._compact_frame(spark.read.parquet(*paths))
+        return self._compact_frame(self._reader(spark).parquet(*paths))
 
 
 class HistogramSink(ParquetMergeSink):
@@ -654,7 +748,7 @@ class HistogramSink(ParquetMergeSink):
         return df.groupBy("bin").agg(F.sum("count").alias("count"))
 
     def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
-        return self._compact_frame(spark.read.parquet(*paths))
+        return self._compact_frame(self._reader(spark).parquet(*paths))
 
 
 class WindowedHllSink(ParquetMergeSink):
@@ -695,4 +789,4 @@ class WindowedHllSink(ParquetMergeSink):
         )
 
     def _read_from_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
-        return self._compact_frame(spark.read.parquet(*paths))
+        return self._compact_frame(self._reader(spark).parquet(*paths))
