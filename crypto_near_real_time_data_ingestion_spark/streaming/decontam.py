@@ -74,6 +74,7 @@ def run_decontam_gate_to_completion(
     m_bits: int = 1 << 20,
     k: int = 5,
     max_files_per_trigger: int = 1,
+    words=None,
 ) -> str:
     """Drain the chunked doc stream (``stateful_lsh.build_doc_stream_
     source``) through the Bloom gate into an exactly-once parquet sink;
@@ -81,14 +82,26 @@ def run_decontam_gate_to_completion(
     the SAME corpus's eval slice (mirroring the batch op, so the two
     are row-comparable); a re-run over the same work_dir replays
     nothing (file-source checkpoint + file-sink transaction log).
-    For an external-benchmark bitmap, build ``words`` yourself and pass
-    ``eval_byte_min=256`` (see module docstring) — the default slices
-    the holdout out of the probed stream by construction."""
+    For an external-benchmark bitmap, pass it as ``words`` (a
+    ``build_eval_bitmap``/``build_bloom`` word array built under the
+    SAME (m_bits, k)) together with ``eval_byte_min=256`` so every
+    arriving doc is probed and emitted. The runner refuses the
+    footgun of ``eval_byte_min >= 256`` WITHOUT an external bitmap:
+    md5 bytes are 0-255, so the corpus eval slice would be empty and
+    the gate would silently pass every leaked doc."""
+    if words is None and eval_byte_min >= 256:
+        raise ValueError(
+            "eval_byte_min >= 256 selects an EMPTY corpus eval slice "
+            "(md5 bytes are 0-255) — the gate would be an all-pass "
+            "no-op. Pass an external bitmap via words= for "
+            "external-benchmark decontamination."
+        )
     batch_docs = spark.read.parquet(docs_parquet)
-    words = build_eval_bitmap(
-        batch_docs.filter(_md5_byte(F.col("doc_id")) >= eval_byte_min),
-        n, m_bits, k,
-    )
+    if words is None:
+        words = build_eval_bitmap(
+            batch_docs.filter(_md5_byte(F.col("doc_id")) >= eval_byte_min),
+            n, m_bits, k,
+        )
     stream = (
         spark.readStream.schema(batch_docs.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

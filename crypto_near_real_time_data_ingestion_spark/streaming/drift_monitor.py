@@ -43,10 +43,23 @@ from .sinks import ParquetMergeSink
 
 
 class WindowedTokenHistSink(ParquetMergeSink):
-    """SUM-merge additive sink keyed by (window_start, token)."""
+    """SUM-merge additive sink keyed by (window_start, token).
 
-    def __init__(self, table_dir: str):
+    Binds its WINDOW WIDTH in the shared sketch-params sidecar
+    (``_bind_sketch_params``): histograms from different window grains
+    must never sum — a reopen with a different ``window`` would
+    silently merge 30-minute keys into an hourly pile (the CMS
+    seed-mismatch class of corruption) and is refused instead."""
+
+    def __init__(self, table_dir: str, window: str = "1 hour"):
         super().__init__(table_dir, keys=["window_start", "token"], event_time_col=None)
+        from .sinks import _bind_sketch_params
+
+        self.window = window
+        _bind_sketch_params(
+            table_dir, "_drift_hist_params.json",
+            {"window": window}, "windowed token histogram",
+        )
 
     def _compact_frame(self, df: DataFrame) -> DataFrame:
         # additive fold (one definition serves snapshot writer + reads,
@@ -113,9 +126,7 @@ def windowed_drift(
         F.coalesce(F.col("cw"), F.lit(0)).alias("cw"),
         F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
     )
-    totals = joined.groupBy("window_start").agg(
-        F.sum("cw").alias("nw"), F.max(F.lit(0)).alias("__z")
-    ).drop("__z")
+    totals = joined.groupBy("window_start").agg(F.sum("cw").alias("nw"))
     n_ref = ref.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
     with_p = joined.join(totals, "window_start").crossJoin(F.broadcast(n_ref))
     p = F.when(F.col("nw") > 0, F.col("cw") / F.col("nw")).otherwise(F.lit(0.0))
@@ -159,7 +170,9 @@ def run_drift_monitor_to_completion(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    sink = WindowedTokenHistSink(os.path.join(work_dir, "tables", "drift_hist"))
+    sink = WindowedTokenHistSink(
+        os.path.join(work_dir, "tables", "drift_hist"), window=window
+    )
     ckpt = os.path.join(work_dir, "checkpoints", "drift_hist")
     _check_sink_alignment(ckpt, "drift_hist", sink, None)
     try:

@@ -83,8 +83,13 @@ class PipelineHandles:
     sinks: dict[str, ParquetMergeSink] = field(default_factory=dict)
 
     def await_all(self, timeout_s: float | None = None) -> None:
+        # `is not None`, not truthiness: timeout_s=0 means "poll, don't
+        # block", which a falsy check would turn into blocking forever
         for q in self.queries.values():
-            q.awaitTermination(timeout_s) if timeout_s else q.awaitTermination()
+            if timeout_s is not None:
+                q.awaitTermination(timeout_s)
+            else:
+                q.awaitTermination()
 
     def stop_all(self) -> None:
         for q in self.queries.values():
@@ -289,6 +294,20 @@ def start_pipeline(
     # silently dropped (an additive sink then permanently undercounts).
     # Record sink -> feeding-checkpoint wiring per work_dir and refuse
     # a mismatch loudly.
+    # fail loudly on a name no branch below will start: a typo'd query
+    # would otherwise be silently skipped (and even persisted into the
+    # wiring sidecar) while the caller believes its table is produced
+    known = {
+        "silver", "gold_hour", "gold_hour_rank", "gold_day", "gold_sliding",
+        "sessions", "features", "features_tws", "role_runs", "unanswered",
+        "tool_asof", "enriched_hour", "heavy_hitters", "countmin", "hll",
+        "hll_hour", "pairs", "latency_hist",
+    }
+    unknown = [q for q in queries if q not in known]
+    if unknown:
+        raise ValueError(
+            f"unknown streaming queries {unknown}; known: {sorted(known)}"
+        )
     wiring = {q: q for q in queries}
     if fold_hh:
         wiring["heavy_hitters"] = "silver"
@@ -339,6 +358,21 @@ def start_pipeline(
         with open(wiring_path + ".tmp", "w") as f:
             json.dump({**prior, **wiring}, f, indent=2)
         os.rename(wiring_path + ".tmp", wiring_path)
+
+    # ---- additive-fold late-duplicate contract (r5 review) -----------
+    # The MG/CMS/histogram folds ride the deduped stream, but
+    # dropDuplicatesWithinWatermark only dedups within its watermark: a
+    # duplicate arriving after its dedup state evicted passes through
+    # as a late singleton (pinned in test_late_data.py). The keyed
+    # MERGE silver sink absorbs it (latest-wins), but an additive sink
+    # cannot un-count — its merged totals drift ABOVE truth by exactly
+    # the beyond-watermark duplicate volume. This is the documented
+    # algebraic residual of sum-merge sketches (test_streaming_e2e.py),
+    # not silently "fixed" here: the write-side cure (anti-join each
+    # batch against the silver sink's committed keys) costs a sink read
+    # per batch and belongs to deployments whose sources actually
+    # replay beyond the watermark — size the watermark to the source's
+    # real lateness instead, which bounds the residual to zero.
 
     def _mg_transform():
         from pyspark.sql import functions as F

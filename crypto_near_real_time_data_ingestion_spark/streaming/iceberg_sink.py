@@ -119,7 +119,13 @@ class IcebergMergeSink:
         if self.is_committed(batch_id):
             return
         self._ensure_table(df)
-        view = f"__iceberg_batch_{abs(hash(self.table)) % (1 << 30)}"
+        # view name embeds the SANITIZED table name (not a hash of it —
+        # a 2^30 hash space can collide across concurrently-running
+        # queries of one session, racing their MERGEs onto each other's
+        # temp views)
+        import re
+
+        view = "__iceberg_batch_" + re.sub(r"[^A-Za-z0-9_]", "_", self.table)
         # a batch may carry several versions of a key (e.g. stateful
         # re-emissions) — MERGE requires unique source keys: keep latest.
         # The winner must be DETERMINISTIC under replay/repartitioning
@@ -147,14 +153,21 @@ class IcebergMergeSink:
             )
         else:  # key-only rows: duplicates are identical
             deduped = df.dropDuplicates(self.keys)
-        deduped.createOrReplaceTempView(view)
-        on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in self.keys)
-        self.spark.sql(
-            f"MERGE INTO {self.table} t USING {view} s ON {on} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
-        n = self.spark.table(view).count()
+        # persist: the MERGE and the commit-log row count both consume
+        # the deduped frame — unpersisted, the dedup window would
+        # re-execute per action
+        deduped.persist()
+        try:
+            deduped.createOrReplaceTempView(view)
+            on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in self.keys)
+            self.spark.sql(
+                f"MERGE INTO {self.table} t USING {view} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            n = deduped.count()
+        finally:
+            deduped.unpersist()
         self.spark.sql(
             f"INSERT INTO {self.commits_table} VALUES ({int(batch_id)}, {int(n)})"
         )

@@ -270,6 +270,21 @@ class ParquetMergeSink:
                         os.remove(os.path.join(base, f))
                     except FileNotFoundError:
                         pass
+        # orphaned commit-point temps: a crash between the .tmp write
+        # and its rename leaves litter no rename will ever claim. The
+        # write→rename window is microseconds, so anything .tmp older
+        # than a minute is an orphan — without this, crashy long-lived
+        # streams grow metadata forever ("O(live)" contract)
+        now = time.time()
+        for base in (self.table_dir, self.commits_dir, self.manifests_dir):
+            for f in os.listdir(base):
+                p = os.path.join(base, f)
+                if f.endswith(".tmp") and os.path.isfile(p):
+                    try:
+                        if now - os.stat(p).st_mtime > 60:
+                            os.remove(p)
+                    except FileNotFoundError:
+                        pass
 
     def compact(
         self,

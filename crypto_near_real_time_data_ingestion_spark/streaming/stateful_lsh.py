@@ -181,28 +181,35 @@ def _process_group(
 
     out1, out2, outj = [], [], []
     # per-ARRIVING-doc walk (sequential by construction: each arrival
-    # joins the index the next arrival probes). Candidates are the
-    # members whose exact band_hash matches — one vectorized equality
-    # over the group's member list, then a membership pass per true
-    # candidate: total work ∝ real bucket collisions, exactly the batch
-    # bucket-join bound, NOT ∝ group size.
+    # joins the index the next arrival probes). Candidates come from a
+    # dict keyed by the EXACT band_hash (the coarse state key groups
+    # many hashes) — per arrival ∝ true bucket collisions, exactly the
+    # batch bucket-join bound. The round-4 form scanned the whole
+    # member array per arrival AND np.append-copied it per arrival —
+    # both O(members²) per hot group-batch (r5 review).
+    from collections import defaultdict
+
+    m_bh_list = [int(b) for b in m_bh]
+    index: dict[int, list[int]] = defaultdict(list)
+    for i, bh in enumerate(m_bh_list):
+        index[bh].append(i)
     for pos in order:
         d_id = int(arr_ids[pos])
-        d_bh = arr_bh[pos]
+        d_bh = int(arr_bh[pos])
         d_set = new_sets[pos]
-        if m_ids:
-            for i in np.nonzero(m_bh == d_bh)[0]:
-                mset = m_sets[i]
-                inter = int(np.isin(mset, d_set).sum())
-                union = len(mset) + len(d_set) - inter  # ≥ 1: non-empty
-                jacc = inter / union
-                if jacc >= threshold:
-                    m_id = m_ids[i]
-                    out1.append(min(m_id, d_id))
-                    out2.append(max(m_id, d_id))
-                    outj.append(jacc)
+        for i in index.get(d_bh, ()):
+            mset = m_sets[i]
+            inter = int(np.isin(mset, d_set).sum())
+            union = len(mset) + len(d_set) - inter  # ≥ 1: non-empty
+            jacc = inter / union
+            if jacc >= threshold:
+                m_id = m_ids[i]
+                out1.append(min(m_id, d_id))
+                out2.append(max(m_id, d_id))
+                outj.append(jacc)
+        index[d_bh].append(len(m_ids))
         m_ids.append(d_id)
-        m_bh = np.append(m_bh, d_bh)
+        m_bh_list.append(d_bh)
         m_sets.append(d_set)
 
     if max_members is not None and len(m_ids) > max_members:
@@ -212,12 +219,12 @@ def _process_group(
         # for an unbounded stream; recall loss is exactly the evicted
         # members' future pairs)
         drop = len(m_ids) - max_members
-        m_ids, m_bh, m_sets = m_ids[drop:], m_bh[drop:], m_sets[drop:]
+        m_ids, m_bh_list, m_sets = m_ids[drop:], m_bh_list[drop:], m_sets[drop:]
 
     state.update(
         (
             m_ids,
-            m_bh.tolist(),
+            m_bh_list,
             [len(s) for s in m_sets],
             np.concatenate(m_sets).tobytes() if m_sets else b"",
         )

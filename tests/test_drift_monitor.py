@@ -46,6 +46,20 @@ def _corpus(spark, transcripts_parquet):
     )
 
 
+def test_window_width_reopen_refused(drained_sink):
+    """Histograms from different window grains must never sum: a reopen
+    with a different window is refused by the params sidecar (the CMS
+    seed-mismatch guard class)."""
+    from crypto_near_real_time_data_ingestion_spark.streaming.drift_monitor import (
+        WindowedTokenHistSink,
+    )
+
+    with pytest.raises(ValueError, match="refusing to reopen"):
+        WindowedTokenHistSink(drained_sink.table_dir, window="30 minutes")
+    # same window reopens fine
+    WindowedTokenHistSink(drained_sink.table_dir, window="1 hour")
+
+
 def test_histogram_equals_batch_windowed_counts(
     spark, transcripts_parquet, drained_sink
 ):

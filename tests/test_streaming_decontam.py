@@ -56,3 +56,20 @@ def test_streaming_gate_equals_batch_and_is_exactly_once(spark):
     before = got.count()
     out2 = run_decontam_gate_to_completion(spark, docs_parquet, src, WORK)
     assert spark.read.parquet(out2).count() == before
+
+
+def test_gate_refuses_empty_corpus_slice(spark):
+    """eval_byte_min >= 256 with no external bitmap would build an
+    all-zero bitmap (md5 bytes are 0-255) and silently pass every
+    leaked doc — the runner refuses it loudly (r5 review)."""
+    import pytest
+
+    from crypto_near_real_time_data_ingestion_spark.streaming.decontam import (
+        run_decontam_gate_to_completion,
+    )
+
+    with pytest.raises(ValueError, match="EMPTY corpus eval slice"):
+        run_decontam_gate_to_completion(
+            spark, "/nonexistent.parquet", "/nonexistent", "/tmp/x",
+            eval_byte_min=256,
+        )
