@@ -43,18 +43,27 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: every ``left`` row gains ``prefix+right_time`` and
     ``prefix+col`` for each payload col, from the latest ``right`` row of
-    the same key with ``right_time <= left_time`` (nulls if none)."""
+    the same key with ``right_time <= left_time`` (nulls if none).
+
+    The matched right row attaches as ONE struct, merged by a single
+    ``last(ignorenulls)`` — never per column: per-column merges would
+    let a NULL payload VALUE in the matched row fall through to an
+    older row's value (a mixed-row result no ASOF JOIN produces; the
+    SCD2 lookup hits it with NULL dimension attributes — r5 review,
+    pinned in test_gold_plans)."""
+    from pyspark.sql import types as T
+
     keys = list(keys)
     lcols = [c for c in left.columns]
+    struct_t = T.StructType(
+        [T.StructField(right_time, right.schema[right_time].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
     l_side = left.select(
         *lcols,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(right.schema[right_time].dataType).alias(f"{prefix}{right_time}"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-            for c in payload
-        ],
+        F.lit(None).cast(struct_t).alias("__asof"),
     )
     r_side = right.select(
         *[
@@ -65,8 +74,10 @@ def asof_join(
         ],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),  # sorts BEFORE left at equal time ⇒ <= semantics
-        F.col(right_time).alias(f"{prefix}{right_time}"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        F.struct(
+            F.col(right_time).alias(right_time),
+            *[F.col(c) for c in payload],
+        ).alias("__asof"),
     )
     u = l_side.unionByName(r_side)
     w = (
@@ -74,10 +85,12 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    attached = [f"{prefix}{right_time}"] + [f"{prefix}{c}" for c in payload]
-    for c in attached:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("__side") == 1).select(*lcols, *attached)
+    u = u.withColumn("__asof", F.last("__asof", ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).select(
+        *lcols,
+        F.col(f"__asof.{right_time}").alias(f"{prefix}{right_time}"),
+        *[F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in payload],
+    )
 
 
 def events_asof_ohlc(events: DataFrame) -> DataFrame:

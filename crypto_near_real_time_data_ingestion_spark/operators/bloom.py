@@ -79,7 +79,11 @@ def build_bloom(
     count (the whole point), so the final ``collect()`` is a
     constant-bounded driver action, not a data-sized one.
     """
-    pos = keys.select(
+    # NULL keys are ABSENCES (the sketch-family contract, cf. cms_build
+    # / hll_build): xxhash64(NULL) returns the seed, so an unfiltered
+    # NULL would set one phantom key's bits and every NULL-keyed probe
+    # would answer maybe_member=true (r5 review)
+    pos = keys.filter(F.col(col).isNotNull()).select(
         F.explode(bloom_positions(F.col(col), m_bits, k)).alias("pos")
     )
     words = (
@@ -127,7 +131,15 @@ def probe_bloom(
         flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos])
         return pd.Series(_test_bits(flat, w).reshape(-1, k).all(axis=1))
 
-    return df.withColumn(out, _member(bloom_positions(F.col(col), m_bits, k)))
+    # NULL keys: nothing to test — answer NULL, never the phantom
+    # seed-hash membership (family contract, see build_bloom note)
+    return df.withColumn(
+        out,
+        F.when(
+            F.col(col).isNotNull(),
+            _member(bloom_positions(F.col(col), m_bits, k)),
+        ),
+    )
 
 
 def bloom_count_members(
@@ -173,7 +185,11 @@ def bloom_count_members(
         out,
         _count(
             F.flatten(
-                F.transform(F.col(arr_col), lambda s: bloom_positions(s, m_bits, k))
+                F.transform(
+                    # NULL elements are absences (family contract)
+                    F.filter(F.col(arr_col), lambda s: s.isNotNull()),
+                    lambda s: bloom_positions(s, m_bits, k),
+                )
             )
         ),
     )

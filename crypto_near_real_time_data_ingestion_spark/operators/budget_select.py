@@ -70,10 +70,23 @@ def budget_select(
     )
 
     # phase 2: within-tie-group running totals — window partitions are
-    # (key, score) tie groups, never a whole source
+    # (key, score) tie groups, never a whole source. The join back is
+    # NULL-SAFE on the score: a plain equality join would silently DROP
+    # NULL-score rows (NULL = NULL is not true) while the ledger window
+    # deliberately ranks them (desc_nulls_last) — the naive twin keeps
+    # them, so the two pinned-equal formulations would diverge (r5
+    # review; pinned by a planted NULL score in test_budget_select).
     wt = Window.partitionBy(*keys, score_col).orderBy(F.col(tiebreak).asc())
+    lg = ledger
+    for c in [*keys, score_col]:
+        lg = lg.withColumnRenamed(c, f"__lg_{c}")
+    cond = None
+    for c in [*keys, score_col]:
+        t = df[c].eqNullSafe(lg[f"__lg_{c}"])
+        cond = t if cond is None else (cond & t)
     out = (
-        df.join(ledger, [*keys, score_col])
+        df.join(lg, cond)
+        .drop(*[f"__lg_{c}" for c in [*keys, score_col]])
         .withColumn("_within", F.sum(tokens_col).over(wt).cast("long"))
         .withColumn("cum_tokens", F.col("_cum_start") + F.col("_within"))
         .withColumn("selected", F.col("cum_tokens") <= F.lit(budget))

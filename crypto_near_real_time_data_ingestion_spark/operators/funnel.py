@@ -58,17 +58,23 @@ def asof_join_forward(
     # Spark evaluates moving-start frames by rescanning, O(n²) per key
     # (measured: 11 s vs 0.4 s on one 300k-row step) — while the growing
     # frame is the O(n) running-aggregate path, like the backward join's.
+    # the matched right row attaches as ONE struct merged by a single
+    # last(ignorenulls) — per-column merges would let a NULL payload
+    # value fall through to a DIFFERENT right row's value (mixed-row
+    # result; the backward asof_join's r5 fix, same mechanism)
+    from pyspark.sql import types as T
+
+    struct_t = T.StructType(
+        [T.StructField(right_time, right.schema[right_time].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
     l_side = left.select(
         *lcols,
         F.col(left_time).alias("__t"),
         # at equal time, rights sort AFTER the left row in (t desc,
         # side asc) order ⇒ outside its growing frame ⇒ strict > semantics
         F.lit(0).alias("__side"),
-        F.lit(None).cast(right.schema[right_time].dataType).alias(f"{prefix}{right_time}"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-            for c in payload
-        ],
+        F.lit(None).cast(struct_t).alias("__asof"),
     )
     r_side = right.select(
         *[
@@ -79,8 +85,10 @@ def asof_join_forward(
         ],
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__side"),
-        F.col(right_time).alias(f"{prefix}{right_time}"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        F.struct(
+            F.col(right_time).alias(right_time),
+            *[F.col(c) for c in payload],
+        ).alias("__asof"),
     )
     u = l_side.unionByName(r_side)
     w = (
@@ -88,29 +96,29 @@ def asof_join_forward(
         .orderBy(F.desc("__t"), F.asc("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    attached = [f"{prefix}{right_time}"] + [f"{prefix}{c}" for c in payload]
-    for c in attached:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = u.withColumn("__asof", F.last("__asof", ignorenulls=True).over(w))
     out = u.filter(F.col("__side") == 0)
+    attached = [(f"{prefix}{right_time}", right_time)] + [
+        (f"{prefix}{c}", c) for c in payload
+    ]
     # a NULL left_time must attach nothing: NULL __t sorts LAST under
     # desc ordering, so its growing frame spans every row and the merge
     # would attach the globally earliest right row — gate on non-null
     nn_left = F.col(left_time).isNotNull()
     if horizon_s is not None:
-        in_h = nn_left & (
-            F.col(f"{prefix}{right_time}")
+        keep = nn_left & (
+            F.col(f"__asof.{right_time}")
             <= F.col(left_time) + F.expr(f"INTERVAL {int(horizon_s)} SECOND")
         )
-        out = out.select(
-            *lcols,
-            *[F.when(in_h, F.col(c)).otherwise(F.lit(None)).alias(c) for c in attached],
-        )
     else:
-        out = out.select(
-            *lcols,
-            *[F.when(nn_left, F.col(c)).alias(c) for c in attached],
-        )
-    return out
+        keep = nn_left
+    return out.select(
+        *lcols,
+        *[
+            F.when(keep, F.col(f"__asof.{src}")).alias(dst)
+            for dst, src in attached
+        ],
+    )
 
 
 def funnel_events(

@@ -290,7 +290,13 @@ def hll_windowed_build(
     window's key set; this is 2^p registers, and windows max-merge
     independently (backfills/replays fold in idempotently)."""
     _check_p(p)
-    hashed = df.filter(F.col(item_col).isNotNull()).select(
+    # NULL ts must drop WITH the NULL items: a NaT window factorizes to
+    # code -1 in the partial, and the flat-array fold would wrap that
+    # negative index into the LAST real window's registers (or raise on
+    # an all-NULL batch) — silently inflating its estimate (r5 review)
+    hashed = df.filter(
+        F.col(item_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.window(F.col(ts_col), window).start.alias("window_start"),
         F.xxhash64(
             F.concat(F.lit(hll_salt(seed)), F.col(item_col).cast("string"))

@@ -89,6 +89,11 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
         # truncated/adversarial header: fail at the module's typed
         # boundary, not with a bare IndexError inside a Spark task
         raise ValueError(f"truncated PNM header: {payload[:32]!r}")
+    if pos < n and payload[pos] == ord("#"):
+        # a comment directly after maxval: the spec's "single whitespace
+        # then pixels" contract is ambiguous here — refuse loudly
+        # rather than read pixel data out of the comment text
+        raise ValueError("unsupported PNM header: comment after maxval")
     magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
     if magic not in (b"P5", b"P6"):
         raise ValueError(f"not a binary PNM: {magic!r}")
@@ -452,13 +457,21 @@ ent AS (
         ) GROUP BY media_id
     )
 )
-SELECT m.media_id, m.media_type, m.n_bytes, cs.checksum32,
-       CAST(320 + cs.checksum32 % 1600 AS INTEGER) AS fake_width,
-       CAST(240 + (cs.checksum32 // 256) % 900 AS INTEGER) AS fake_height,
+SELECT m.media_id, m.media_type, m.n_bytes,
+       coalesce(cs.checksum32, 0) AS checksum32,
+       CAST(320 + coalesce(cs.checksum32, 0) % 1600 AS INTEGER) AS fake_width,
+       CAST(240 + (coalesce(cs.checksum32, 0) // 256) % 900 AS INTEGER) AS fake_height,
        CAST(CASE WHEN m.media_type <> 'video' THEN 1
-            ELSE 24 + cs.checksum32 % 240 END AS INTEGER) AS fake_n_frames,
-       ent.byte_entropy
+            ELSE 24 + coalesce(cs.checksum32, 0) % 240 END AS INTEGER) AS fake_n_frames,
+       coalesce(ent.byte_entropy, 0.0) AS byte_entropy
 FROM m
-JOIN cs USING (media_id)
-JOIN ent USING (media_id)
+LEFT JOIN cs USING (media_id)
+LEFT JOIN ent USING (media_id)
 """
+# LEFT joins + coalesce-to-0, not inner: an EMPTY payload (text = '',
+# non-NULL) has no unnested bytes, so cs/ent carry no row for it — an
+# inner join would drop the media_id while the Spark op deliberately
+# emits (checksum 0, entropy 0.0) for zero-length payloads. The driver
+# corpus has no empty texts, so this was a latent hash mismatch
+# (r5 review; pinned by a planted empty-text doc in
+# tests/test_multimodal_decode.py).

@@ -205,7 +205,11 @@ def minhash_lsh_pairs(
     exact Jaccard (computed only for candidates — the cheap part)."""
     from ..plans.documents_gold import doc_shingles
 
-    sh = doc_shingles(docs).cache()
+    # eager localCheckpoint, not cache(): cache registers in the
+    # CacheManager for the session's lifetime with no unpersist hook on
+    # this API (the ann.py r3-ADVICE leak); the checkpoint's blocks are
+    # reclaimed by the ContextCleaner once unreferenced
+    sh = doc_shingles(docs).localCheckpoint(eager=True)
     cand = minhash_lsh_candidates(sh)
     if not verify:
         return cand
@@ -269,7 +273,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     any pair within hamming ≤ 3 agrees exactly on ≥1 of 4 16-bit blocks."""
     from ..plans.documents_gold import doc_shingles
 
-    sig = simhash_signatures(doc_shingles(docs)).cache()
+    # localCheckpoint, not cache() — see minhash_lsh_pairs note
+    sig = simhash_signatures(doc_shingles(docs)).localCheckpoint(eager=True)
     blocks = sig.select(
         "doc_id",
         "simhash",

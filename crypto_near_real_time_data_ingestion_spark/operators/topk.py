@@ -44,6 +44,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _nan_to_null(df: DataFrame, order_col: str) -> DataFrame:
+    """The family's NaN contract (see grouped_topk): float NaN scores
+    become NULL before any ranking."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[order_col].dataType, (T.FloatType, T.DoubleType)):
+        c = F.col(order_col)
+        df = df.withColumn(
+            order_col, F.when(F.isnan(c), F.lit(None)).otherwise(c)
+        )
+    return df
+
+
 def _partial_trim(
     keys: list[str], order_col: str, k: int, tiebreak: str, ascending: bool
 ):
@@ -62,6 +75,20 @@ def _partial_trim(
                     use_na_sentinel=False
                 )[0]
             order = pdf[order_col].to_numpy()
+            # NULL/NaN order values must SURVIVE the trim untouched: at
+            # the Arrow boundary Spark NULL and NaN BOTH arrive as NaN,
+            # but they rank differently JVM-side (desc: NaN first, NULL
+            # last; asc: NULL first, NaN last) — no in-kernel mapping
+            # can be exact for both, so the trim keeps every NaN row
+            # (conservative superset; the final window is the
+            # authority) and ranks only the definite values among
+            # themselves (r5 review; pinned in test_topk)
+            nan_mask = None
+            if np.issubdtype(order.dtype, np.floating) and np.isnan(order).any():
+                nan_mask = np.isnan(order)
+                # park NaNs at the DROPPED extreme so they never
+                # displace a definite value from the kept top-k
+                order = np.where(nan_mask, np.inf if ascending else -np.inf, order)
             tb = pdf[tiebreak].to_numpy()
             if not ascending:
                 # lexsort is ascending-only; negate via argsort keys trick:
@@ -78,7 +105,10 @@ def _partial_trim(
                 np.where(new_grp, np.arange(len(g_sorted)), 0)
             )
             keep = (np.arange(len(g_sorted)) - starts) < k
-            yield pdf.iloc[np.sort(idx[keep])]
+            rows = idx[keep]
+            if nan_mask is not None:
+                rows = np.union1d(rows, np.flatnonzero(nan_mask))
+            yield pdf.iloc[np.sort(rows)]
 
     return fn
 
@@ -94,8 +124,18 @@ def grouped_topk(
     """Top-k rows per group by ``order_col`` (desc by default), tiebroken
     by ``tiebreak`` asc (must be unique per group). Adds ``rank`` (1..k).
     Map-side trimmed: the shuffle into the final rank carries at most
-    k rows per key per Arrow batch, never the full table."""
+    k rows per key per Arrow batch, never the full table.
+
+    NaN CONTRACT: a float NaN score is normalized to NULL before
+    ranking (both here and in the naive twin — they must agree). This
+    is forced by the Arrow boundary, which maps NaN → NULL on the way
+    back from the Python trim, so Spark's native NaN ordering (NaN >
+    everything) cannot survive a mapInPandas round trip; "undefined
+    score = no preference" (ranked with the nulls) is the coherent
+    contract for a curation cut-off anyway (r5 review; pinned in
+    test_topk with planted NULL and NaN scores)."""
     keys = list(keys)
+    df = _nan_to_null(df, order_col)
     trimmed = df.mapInPandas(
         _partial_trim(keys, order_col, k, tiebreak, ascending), df.schema
     )
@@ -117,7 +157,9 @@ def grouped_topk_naive(
     ascending: bool = False,
 ) -> DataFrame:
     """The window-only formulation (shuffles every row) — kept as the
-    equivalence twin for tests; do not use on large inputs."""
+    equivalence twin for tests; do not use on large inputs. Shares the
+    family NaN contract (NaN normalized to NULL — see grouped_topk)."""
+    df = _nan_to_null(df, order_col)
     direction = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     w = Window.partitionBy(*list(keys)).orderBy(direction, F.col(tiebreak).asc())
     return (

@@ -156,3 +156,25 @@ def test_bloom_probe_composes_with_streaming(spark, tmp_path):
     q = probed.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination(120)
     assert out == batch
+
+
+def test_null_keys_are_absences(spark):
+    """Family contract (cms/hll): NULL items never enter the bitmap and
+    NULL probes answer NULL — unfiltered, xxhash64(NULL) = seed would
+    insert one phantom key and flag EVERY NULL probe as a member."""
+    import pandas as pd
+
+    keys = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b", None]})
+    )
+    words = build_bloom(keys, "k")
+    probes = probe_bloom(
+        spark.createDataFrame(pd.DataFrame({"k": ["a", None, "zzz"]})), "k", words
+    ).toPandas().set_index("k", drop=False)
+    assert bool(probes.loc["a", "maybe_member"])
+    assert probes["maybe_member"].isna().sum() == 1  # the NULL probe
+    # an all-NULL build yields an empty bitmap: nothing is a member
+    empty_words = build_bloom(
+        spark.createDataFrame(pd.DataFrame({"k": [None, None]}), "k string"), "k"
+    )
+    assert int(np.abs(empty_words).sum()) == 0

@@ -127,3 +127,30 @@ def test_dup_span_planted(spark):
         for r in doc_dup_span_stats(df).collect()
     }
     assert got == {"d1": (5, 3), "d2": (5, 3), "d3": (4, 0), "d4": (2, 0)}
+
+
+def test_null_score_rows_survive(spark):
+    """A NULL score must rank last (desc_nulls_last), not vanish: the
+    ledger join is NULL-safe (a plain equality join silently dropped
+    the row, diverging from the naive twin — r5 review)."""
+    import pandas as pd
+
+    from crypto_near_real_time_data_ingestion_spark.operators.budget_select import (
+        budget_select,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", 10, 0.9), ("b", 10, None), ("c", 10, 0.5)],
+            columns=["doc_id", "n_tokens", "score"],
+        )
+    )
+    got = (
+        budget_select(df, keys=[], score_col="score",
+                      tokens_col="n_tokens", tiebreak="doc_id", budget=20)
+        .toPandas().set_index("doc_id")
+    )
+    assert len(got) == 3  # the NULL-score row is present
+    assert bool(got.loc["a", "selected"]) and bool(got.loc["c", "selected"])
+    assert not bool(got.loc["b", "selected"])  # ranked last, over budget
+    assert int(got.loc["b", "cum_tokens"]) == 30

@@ -155,3 +155,41 @@ def test_scd2_lookup_oracle(spark):
         """
     )
     assert_df_equal(got, want, sort_cols=["event_id"])
+
+
+def test_asof_null_payload_attaches_atomically(spark):
+    """The matched right row attaches as ONE struct: a NULL payload
+    VALUE in the matched row must come through as NULL — per-column
+    ignorenulls merges would pull that column from an OLDER row
+    (mixed-row result no ASOF JOIN produces; r5 review). Exercises both
+    directions."""
+    from crypto_near_real_time_data_ingestion_spark.operators.asof import asof_join
+
+    left = _mini_events(spark, [(1, 1, "x", _t(10))]).select(
+        "event_id", "user_id", "ts"
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, _t(1), "old"), (1, _t(5), None)],
+            columns=["user_id", "rts", "tag"],
+        )
+    )
+    got = asof_join(
+        left, right, keys=["user_id"], left_time="ts", right_time="rts",
+        payload=["tag"],
+    ).first()
+    assert got["asof_rts"] == _t(5)
+    assert got["asof_tag"] is None  # NOT "old"
+
+    fwd = funnel.asof_join_forward(
+        left,
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(1, _t(20), None), (1, _t(30), "late")],
+                columns=["user_id", "rts", "tag"],
+            )
+        ),
+        keys=["user_id"], left_time="ts", right_time="rts", payload=["tag"],
+    ).first()
+    assert fwd["next_rts"] == _t(20)
+    assert fwd["next_tag"] is None  # NOT "late"

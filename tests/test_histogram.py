@@ -181,3 +181,33 @@ def test_streaming_oracle_twin_matches_batch(spark, transcripts_parquet):
         )
     ).df()
     assert_df_equal(got, want, sort_cols=["bin"])
+
+
+def test_value_bins_exact_past_2_53(spark):
+    """Exact long floor division: double division rounds values near
+    2^53+ into the wrong bin while SQL // (and the pmod+div form now
+    shipped) stays exact (the range_join module-note trap; r5 review)."""
+    import duckdb
+    import pandas as pd
+
+    from crypto_near_real_time_data_ingestion_spark.operators.histogram import (
+        value_bins,
+    )
+
+    w = 1_000_003
+    # values straddling 2^53 where float64 cannot represent v exactly
+    vals = [2**53 + k for k in range(-2, 9)] + [2**62 + 7, 2**62 + w - 1]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = value_bins(df, "v", w).toPandas().sort_values("bin").reset_index(drop=True)
+    want = (
+        duckdb.sql(
+            f"SELECT v // {w} AS bin, CAST(count(*) AS BIGINT) AS count "
+            f"FROM (SELECT unnest({vals}::BIGINT[]) AS v) GROUP BY 1 ORDER BY 1"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"bin": "int64", "count": "int64"}),
+        want.astype({"bin": "int64", "count": "int64"}),
+    )

@@ -233,3 +233,39 @@ def test_hll_sink_merge_replay_and_compaction(spark, tmp_path):
         HllSink(str(tmp_path / "hll"), p=P + 1)
     with pytest.raises(ValueError, match="refusing to reopen"):
         HllSink(str(tmp_path / "hll"), p=P, seed=7)
+
+
+def test_windowed_build_drops_null_ts(spark):
+    """NULL ts rows must drop with NULL items: unfiltered they
+    factorized to code -1 and the flat-array fold wrapped the negative
+    index into the LAST real window's registers (r5 review)."""
+    import pandas as pd
+
+    from crypto_near_real_time_data_ingestion_spark.operators.hll import (
+        hll_windowed_build,
+        hll_windowed_estimate,
+    )
+
+    base = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(50)],
+            "ts": pd.to_datetime(["2024-01-01 10:00"] * 50),
+        }
+    )
+    poisoned = pd.concat(
+        [base, pd.DataFrame({"conv_id": ["zz1", "zz2"], "ts": [pd.NaT, pd.NaT]})]
+    )
+    clean = hll_windowed_build(spark.createDataFrame(base), "conv_id", p=12)
+    dirty = hll_windowed_build(spark.createDataFrame(poisoned), "conv_id", p=12)
+    c = hll_windowed_estimate(clean, p=12).toPandas()
+    d = hll_windowed_estimate(dirty, p=12).toPandas()
+    # one real window either way, identical estimate — the NULL-ts rows
+    # neither create a window nor inflate the real one
+    assert len(c) == len(d) == 1
+    assert float(c.n_distinct_est.iloc[0]) == float(d.n_distinct_est.iloc[0])
+
+    # an all-NULL-ts batch is a no-op, not an IndexError
+    only_null = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a"], "ts": [pd.NaT]})
+    )
+    assert hll_windowed_build(only_null, "conv_id", p=12).count() == 0

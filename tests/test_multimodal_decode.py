@@ -157,3 +157,42 @@ def test_fixture_survives_spark_binary_roundtrip(spark):
     )
     back = df.select(F.col("payload")).first()[0]
     assert bytes(back) == payload
+
+
+def test_media_features_empty_text_matches_oracle(spark):
+    """An EMPTY (non-NULL) text payload has zero bytes: the Spark op
+    emits (checksum 0, entropy 0.0, base fake dims) and the oracle's
+    LEFT joins + coalesce now keep the row — the previous inner joins
+    dropped it, a latent hash mismatch on any corpus with an empty
+    text (r5 review)."""
+    import duckdb
+
+    from crypto_near_real_time_data_ingestion_spark.operators import multimodal as mm2
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["hello world", "", "abc"],
+         "source": ["s"] * 3}
+    )
+    docs = spark.createDataFrame(pdf)
+    got = (
+        mm2.extract_media_features(mm2.documents_as_media(docs))
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3  # the empty-text doc is present
+    empty = got[got.media_id == 1].iloc[0]
+    assert empty.n_bytes == 0 and empty.checksum32 == 0
+    assert empty.byte_entropy == 0.0 and empty.fake_width == 320
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(mm2.MEDIA_FEATURES_ORACLE_SQL)
+        .df()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    got_c = got[sorted(got.columns)].astype(str)
+    want_c = want[sorted(want.columns)].astype(str)
+    pd.testing.assert_frame_equal(got_c, want_c)

@@ -159,3 +159,29 @@ def test_doc_weighted_sample_favors_weight(spark):
         keys.append((-math.log((h + 0.5) / float(1 << 48)) / len(text), doc_id))
     assert list(got["doc_id"]) == [min(keys)[1]]
     assert min(keys)[1] == 99, "fixture must make the heavy doc win"
+
+
+def test_trim_keeps_nan_scores(spark):
+    """NULL and true-NaN scores arrive in the trim kernel
+    indistinguishably (Arrow maps both to NaN) yet rank DIFFERENTLY
+    JVM-side (desc: NaN first, NULL last) — the trim therefore keeps
+    every such row and lets the final window rank them; pinned against
+    the naive twin for both kinds and both directions (r5 review)."""
+    # NULLs (tuple-API None stays NULL)
+    null_rows = [("g", None if uid < 3 else float(uid), uid) for uid in range(12)]
+    # true NaNs (tuple-API float('nan') stays NaN, not NULL)
+    nan_rows = [
+        ("g", float("nan") if uid < 3 else float(uid), uid) for uid in range(12)
+    ]
+    for rows in (null_rows, nan_rows):
+        df = spark.createDataFrame(
+            rows, "key string, score double, uid long"
+        ).repartition(1)
+        for ascending in (False, True):
+            got = grouped_topk(
+                df, ["key"], "score", k=4, tiebreak="uid", ascending=ascending
+            ).toPandas().sort_values("rank").reset_index(drop=True)
+            want = grouped_topk_naive(
+                df, ["key"], "score", k=4, tiebreak="uid", ascending=ascending
+            ).toPandas().sort_values("rank").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want)
