@@ -210,7 +210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round 5 (r4 verdict item 2): the stranded exact-dedup grains enter
     # the graded window. Corpus-wide exact LINE dedup (the CCNet/
     # RefinedWeb paragraph rule: first (doc_id, pos) occurrence wins,
-    # MassiveText drop_doc signal; shuffle ∝ distinct lines)
+    # MassiveText drop_doc signal; single-pass row_number window over
+    # the line occurrences — measured 4.1x over the "shuffle ∝ distinct
+    # lines" agg+join that double-scans the corpus, BASELINE §29)
     q["doc_line_dedup"] = lambda s, d: dg.doc_line_dedup(dg.read_documents(s, d))
     # ExactSubstr span CUT (Lee et al.): cross-document duplicated
     # n-gram spans removed in-row (array_except position gather — same

@@ -1341,8 +1341,10 @@ def doc_dup_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
 
     Plan shape: positioned n-grams explode once (shuffle ∝ token
     occurrences — inherent to the published algorithm, which must also
-    touch every token); "occurs elsewhere" is the cheap partial-agg
-    ``min(doc_id) <> max(doc_id)`` per gram (no countDistinct); covered
+    touch every token); "occurs elsewhere" is ``min(doc_id) <>
+    max(doc_id)`` as a WINDOW over the gram partition (single pass —
+    the agg-joined form double-scanned the grams, BASELINE §29; no
+    countDistinct); covered
     positions are unioned IN-ROW per doc (``array_distinct`` over the
     flattened per-start windows) after a single groupBy(doc_id) of the
     matched starts, so no per-position rows ever shuffle.

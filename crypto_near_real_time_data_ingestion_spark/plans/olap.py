@@ -17,11 +17,12 @@ reshape the reference's per-metric gold columns imply:
 - ``events_cube``: the full 2^d grain lattice (pytest-oracled twin —
   same code path, denser output).
 - ``events_pivot``: long→wide reshape (the inverse of the graded
-  ``events_unpivot``) with an EXPLICIT pivot-value list. Never call
+  ``events_unpivot``) as conditional aggregation over an EXPLICIT
+  pinned vocabulary — one pass, stable output schema, plus a strict
+  mode that counts off-vocabulary rows in the SAME pass. (Never call
   ``.pivot(col)`` without values at scale: Spark first runs a distinct
   job over the pivot column AND caps it at
-  ``spark.sql.pivotMaxValues`` — the pinned list keeps the plan a
-  single pass and the output schema stable.
+  ``spark.sql.pivotMaxValues``.)
 
 Hash-grade safety: aggregates are row counts (BIGINT), distinct counts
 (BIGINT), and min/max (no accumulation) — no float sums, so the driver
@@ -34,8 +35,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # pinned pivot-value list: the datagen's closed event-type vocabulary.
-# An unexpected type in production data would silently drop here — the
-# companion assertion lives in tests/test_olap.py (count preservation).
+# The default (strict="ignore") silently drops an unexpected type;
+# strict="error"/"other" surface it in the same aggregation pass —
+# planted off-vocab pytest in tests/test_olap.py.
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -96,12 +98,11 @@ EVENTS_CUBE_ORACLE_SQL = EVENTS_ROLLUP_ORACLE_SQL.replace(
 
 
 def events_pivot(events: DataFrame, strict: str = "ignore") -> DataFrame:
-    """Daily long→wide: one BIGINT count column per event type.
-
-    ``coalesce(…, 0)``: Spark pivot emits NULL for absent (day, type)
-    combinations while a conditional-aggregation formulation (the oracle,
-    and any pre-pivoted gold table) emits 0 — normalize to the dense
-    form, which is what a downstream feature matrix wants anyway.
+    """Daily long→wide: one BIGINT count column per event type, as ONE
+    conditional-aggregation pass over the pinned vocabulary (dense: an
+    absent (day, type) combination counts 0, which is what a downstream
+    feature matrix wants; ``.pivot(col, values)`` compiles to exactly
+    this form, minus strict mode's extra column).
 
     ``strict``: what to do with rows whose ``event_type`` is OUTSIDE the
     pinned vocabulary — a pinned-list pivot silently drops them, which

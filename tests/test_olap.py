@@ -92,9 +92,16 @@ def test_pivot_strict_modes(spark):
         int(other[[*olap.EVENT_TYPES, "__other"]].sum().sum()) == dirty.count()
     )
 
-    # clean data: strict='error' passes and equals the fast path
-    clean_strict = olap.events_pivot(ev, strict="error").toPandas()
+    # clean data: strict='error' passes and EQUALS the fast path
+    clean_strict = (
+        olap.events_pivot(ev, strict="error")
+        .toPandas().sort_values("day").reset_index(drop=True)
+    )
     assert "__other" not in clean_strict.columns
+    fast_clean = (
+        olap.events_pivot(ev).toPandas().sort_values("day").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(clean_strict, fast_clean)
     fast = olap.events_pivot(dirty).toPandas()
     assert "__other" not in fast.columns
 
