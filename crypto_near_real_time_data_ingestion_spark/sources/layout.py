@@ -105,7 +105,16 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = ZBITS) -> DataFrame
                 F.lit(255),
             )
             return (first * 256 + second).cast("double")
-        return F.col(c).cast("double")
+        # NaN → NULL at the projection: Spark max() treats NaN as the
+        # LARGEST value, so one NaN in a float dimension would make the
+        # bounds (and every row's frac) NaN — floor(NaN) = 0 silently
+        # collapsed the WHOLE dimension to rank 0 with no
+        # DegenerateZOrderBounds (r5 review). Nulled, the bounds ignore
+        # NaN rows, those rows rank 0 like NULLs (the documented
+        # convention), and an ALL-NaN column raises the degenerate
+        # guard exactly like an all-NULL one.
+        x = F.col(c).cast("double")
+        return F.when(~F.isnan(x), x)
 
     nums = [numeric(c).alias(f"__z{i}") for i, c in enumerate(cols)]
     base = df.select("*", *nums)

@@ -147,18 +147,26 @@ class SynthTranscriptsDataSource(DataSource):
         return _ordered_log(path)
 
     def reader(self, schema) -> DataSourceReader:
-        return _SynthBatchReader(
-            self._log(), int(self.options.get("numpartitions", "4"))
-        )
+        return _SynthBatchReader(self._log(), _check_parts(self.options))
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         fpb = self.options.get("filesperbatch")
         return _SynthStreamReader(
             self._log(),
             rows_per_batch=int(self.options.get("rowsperbatch", "500")),
-            n_parts=int(self.options.get("numpartitions", "4")),
+            n_parts=_check_parts(self.options),
             files_per_batch=int(fpb) if fpb is not None else None,
         )
+
+
+def _check_parts(options) -> int:
+    """numPartitions must be >= 1 — a non-positive step would walk
+    _range_partitions backward forever (rowsPerBatch/filesPerBatch are
+    validated; this closes the same gap for the partition knob)."""
+    n = int(options.get("numpartitions", "4"))
+    if n < 1:
+        raise ValueError(f"numPartitions must be >= 1, got {n}")
+    return n
 
 
 def _range_partitions(log, s, e, step):
@@ -182,10 +190,14 @@ class _SynthBatchReader(DataSourceReader):
         self.n_rows = sum(n for _, n in log)
 
     def partitions(self):
-        step = -(-self.n_rows // self.n_parts)
+        step = -(-self.n_rows // self.n_parts) if self.n_rows else 1
         return _range_partitions(self.log, 0, self.n_rows, step)
 
     def read(self, partition: _RangePartition):
+        # pyspark substitutes [None] for an empty partition plan (e.g. a
+        # 0-row log) — yield nothing instead of crashing on .path
+        if partition is None:
+            return
         yield from _read_range(partition.path, partition.start, partition.end)
 
 
@@ -250,6 +262,8 @@ class _SynthStreamReader(DataSourceStreamReader):
         return _range_partitions(self.log, s, e, step)
 
     def read(self, partition: _RangePartition):
+        if partition is None:  # engine's empty-plan sentinel
+            return
         yield from _read_range(partition.path, partition.start, partition.end)
 
     def commit(self, end: dict) -> None:

@@ -10,8 +10,8 @@ import shutil
 import time
 
 import pandas as pd
-import pyarrow.parquet as pq
 import pytest
+import pyarrow.parquet as pq
 
 from crypto_near_real_time_data_ingestion_spark.datagen import ensure_transcripts
 from crypto_near_real_time_data_ingestion_spark.sources.py_datasource import (
@@ -313,3 +313,32 @@ def test_reader_validation():
     assert r3.latestOffset() == {"row": 10}
     # empty range plans no partitions
     assert r3.partitions({"row": 8}, {"row": 8}) == []
+
+
+def test_bad_numpartitions_and_empty_log(registered, tmp_path):
+    """numPartitions < 1 raises (a negative step would walk partition
+    planning backward forever); a 0-row log reads as an empty frame
+    (pyspark substitutes [None] for an empty partition plan — read()
+    must tolerate the sentinel)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    empty = str(tmp_path / "empty.parquet")
+    pq_.write_table(
+        pa.table(
+            {c: pa.array([], t) for c, t in [
+                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("role", pa.string()), ("text", pa.string()),
+                ("tool", pa.string()), ("ts", pa.timestamp("us")),
+            ]}
+        ),
+        empty,
+    )
+    assert (
+        registered.read.format("synth_transcripts").option("path", empty).load().count()
+        == 0
+    )
+    with pytest.raises(Exception, match="numPartitions"):
+        registered.read.format("synth_transcripts").option(
+            "path", empty
+        ).option("numPartitions", "-2").load().count()

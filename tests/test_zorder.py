@@ -124,3 +124,44 @@ def test_zvalue_is_pure_catalyst(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "mapInPandas" not in plan.lower()
+
+
+def test_nan_dimension_does_not_collapse_ranking(spark):
+    """One NaN in a float z-order dimension previously made span NaN and
+    frac NaN for EVERY row (floor(NaN)=0 → the whole dimension ranked
+    0, silently killing pruning on it, with no DegenerateZOrderBounds).
+    Now NaN rows rank 0 like NULLs and the rest of the column still
+    spreads across the rank space (r5 review)."""
+    from pyspark.sql import functions as F
+
+    from crypto_near_real_time_data_ingestion_spark.sources.layout import (
+        zorder_value,
+    )
+
+    # tuple API keeps float('nan') as true NaN (not NULL)
+    rows = [(i, float("nan") if i == 0 else float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "a long, b double")
+    z = zorder_value(df, ["a", "b"]).select("a", "b", "zvalue").toPandas()
+    assert z["zvalue"].nunique() == len(z)
+    # the discriminating check: the pre-fix collapse ranked b as 0 for
+    # every row — identical to a CONSTANT b (span 0 → rank 0). Post-fix
+    # only the one NaN row matches that layout.
+    collapsed = (
+        zorder_value(df.select("a", F.lit(0.0).alias("b")), ["a", "b"])
+        .select("a", F.col("zvalue").alias("zc"))
+    )
+    both = z.merge(collapsed.toPandas(), on="a")
+    same = int((both["zvalue"] == both["zc"]).sum())
+    # exactly two legitimate matches: the NaN row (rank 0 by the NULL
+    # convention) and the b-minimum row (frac 0 → rank 0); pre-fix ALL
+    # 100 rows matched
+    assert same == 2, f"{same} rows rank as if b were constant (collapse)"
+    # an ALL-NaN dimension now fails the degenerate guard like all-NULL
+    from crypto_near_real_time_data_ingestion_spark.sources.layout import (
+        DegenerateZOrderBounds,
+    )
+    import pytest as _pytest
+    with _pytest.raises(DegenerateZOrderBounds):
+        zorder_value(
+            df.select("a", F.lit(float("nan")).alias("b")), ["a", "b"]
+        ).collect()
